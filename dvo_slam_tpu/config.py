@@ -1,0 +1,112 @@
+"""Configuration dataclasses for the TPU-native DVO-SLAM engine.
+
+Mirrors the reference's three config tiers with the same defaults:
+  * ``TrackerConfig``  <- DenseTracker::Config
+    (reference: dvo_core/src/dense_tracking_config.cpp:27-42)
+  * ``KeyframeConfig`` <- KeyframeTrackerConfig
+    (reference: dvo_slam/src/config.cpp:27-34)
+  * ``GraphConfig``    <- KeyframeGraphConfig
+    (reference: dvo_slam/src/config.cpp:36-53)
+
+Configs are plain frozen dataclasses; fields that shape compiled code
+(pyramid levels, iteration caps) are static and participate in the jit
+cache key, scalar thresholds are baked as constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class InfluenceFunction(enum.Enum):
+    """Robust influence functions (reference: weight_calculation.cpp:300-371)."""
+
+    UNIT = "unit"
+    TUKEY = "tukey"
+    TDISTRIBUTION = "t_distribution"
+    HUBER = "huber"
+
+
+class ScaleEstimator(enum.Enum):
+    """Residual scale estimators (reference: weight_calculation.cpp:48-237)."""
+
+    UNIT = "unit"
+    NORMAL = "normal"
+    TDISTRIBUTION = "t_distribution"
+    MAD = "mad"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Dense tracker configuration.
+
+    Defaults match DenseTracker::Config
+    (reference: dvo_core/src/dense_tracking_config.cpp:27-42).
+    """
+
+    first_level: int = 3
+    last_level: int = 1
+    max_iterations_per_level: int = 100
+    precision: float = 5e-7
+    use_initial_estimate: bool = False
+    use_weighting: bool = True
+    mu: float = 0.0
+    influence_function: InfluenceFunction = InfluenceFunction.TDISTRIBUTION
+    influence_function_param: float = 5.0  # t-distribution dof
+    scale_estimator: ScaleEstimator = ScaleEstimator.TDISTRIBUTION
+    scale_estimator_param: float = 5.0
+    intensity_derivative_threshold: float = 0.0
+    depth_derivative_threshold: float = 0.0
+
+    @property
+    def num_levels(self) -> int:
+        """Reference: dense_tracking_config.cpp:44-47 (FirstLevel + 1)."""
+        return self.first_level + 1
+
+    @property
+    def use_estimate_smoothing(self) -> bool:
+        return self.mu > 1e-6
+
+    @property
+    def is_sane(self) -> bool:
+        return self.first_level >= self.last_level
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe selection policy (reference: dvo_slam/src/config.cpp:27-34)."""
+
+    max_translational_distance: float = 0.2
+    max_rotational_distance: float = float("inf")
+    min_entropy_ratio: float = 0.91
+    min_equation_system_constraint_ratio: float = 0.33
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Pose-graph back end knobs (reference: dvo_slam/src/config.cpp:36-53)."""
+
+    use_robust_kernel: bool = True
+    new_constraint_search_radius: float = 1.0
+    new_constraint_min_entropy_ratio_coarse: float = 0.7
+    new_constraint_min_entropy_ratio_fine: float = 0.9
+    min_equation_system_constraint_ratio: float = 0.2
+    min_constraint_distance: int = 0
+    optimization_use_dense_graph: bool = False
+    optimization_iterations: int = 20
+    optimization_remove_outliers: bool = False
+    optimization_outlier_weight_threshold: float = 0.0
+    final_optimization_use_dense_graph: bool = True
+    final_optimization_iterations: int = 5000
+    final_optimization_remove_outliers: bool = False
+    final_optimization_outlier_weight_threshold: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Bundle of all subsystem configs for the full SLAM engine."""
+
+    tracker: TrackerConfig = TrackerConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
+    graph: GraphConfig = GraphConfig()

@@ -1,0 +1,384 @@
+"""Dense RGB-D tracker: coarse-to-fine IRLS Gauss-Newton on SE(3).
+
+TPU-native redesign of the reference's DenseTracker
+(dvo_core/src/dense_tracking.cpp:131-376).  Architectural translations:
+
+  * The data-dependent do/while per pyramid level becomes a
+    ``lax.while_loop`` with the accept/revert logic (the reference's
+    ``Revertable`` rollback, util/revertable.h:29-58) encoded as carried
+    state — rejected steps simply keep the previous carry.
+  * Point compaction becomes dense masking (static shapes for XLA).
+  * The whole multi-level solve is one jittable, vmap-able pure function:
+    batching over frame pairs replaces the reference's TBB task parallelism
+    (local_tracker.cpp:180-185) and its per-proposal thread pools
+    (keyframe_graph.cpp:524-593).
+
+Solver scheme per level (reference line citations in SURVEY.md section 3.4):
+iterate { apply increment; evaluate residuals; IRLS weights from the
+*previous* precision (weight lag, dense_tracking.cpp:286-301); re-estimate
+the 2x2 t-distribution precision; accept if the negative log-likelihood
+decreased else revert and stop; assemble 6x6 normal equations on the MXU;
+solve } until the increment's infinity norm drops below ``cfg.precision``
+or the iteration cap is hit (dense_tracking.cpp:357-363).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import InfluenceFunction, ScaleEstimator, TrackerConfig
+from ..ops import robust, se3
+from ..ops.camera import Intrinsics
+from ..ops.pyramid import (
+    PyramidLevel,
+    build_acceleration,
+    build_pyramid,
+    selection_mask,
+)
+from ..ops.residuals import ResidualData, compute_residuals, normal_equations
+
+_DEBUG = False  # set True to trace per-iteration solver state
+
+# Termination criteria (reference: dense_tracking.h TerminationCriteria).
+TERM_NONE = 0
+TERM_ITERATIONS_EXCEEDED = 1
+TERM_INCREMENT_TOO_SMALL = 2
+TERM_LOG_LIKELIHOOD_DECREASED = 3
+TERM_TOO_FEW_CONSTRAINTS = 4
+
+# Information-matrix scaling applied to the final Hessian
+# (reference: dense_tracking.cpp:371-372) — load-bearing for the keyframe
+# policy's divergence reset (keyframe_tracker.cpp:144-148).
+INFORMATION_SCALE = 0.008 * 0.008
+
+
+class LevelStats(NamedTuple):
+    """Per-level statistics (reference: LevelStats, dense_tracking.h:96-106)."""
+
+    valid_pixels: jnp.ndarray  # selected reference points on this level
+    valid_constraints: jnp.ndarray  # surviving constraints, last iteration
+    iterations: jnp.ndarray
+    termination: jnp.ndarray
+
+
+class TrackingResult(NamedTuple):
+    """Result of one dense alignment
+    (reference: DenseTracker::Result, dense_tracking.h:42-81).
+
+    ``transformation`` is the pose of the current camera in the reference
+    frame (the inverse of the warp estimate, dense_tracking.cpp:371).
+    ``neg_log_likelihood`` follows the reference's Result.LogLikelihood
+    semantics: it is the *negative* t-distribution log-likelihood plus the
+    prior term — lower is better.
+    """
+
+    transformation: jnp.ndarray  # [4, 4]
+    information: jnp.ndarray  # [6, 6]
+    neg_log_likelihood: jnp.ndarray  # []
+    level_stats: Tuple[LevelStats, ...]
+
+    @property
+    def last_level(self) -> LevelStats:
+        return self.level_stats[-1]
+
+    def is_nan(self):
+        """Reference: Result::isNaN (dense_tracking_config.cpp:96-99)."""
+        return ~jnp.all(jnp.isfinite(self.transformation))
+
+
+class _Carry(NamedTuple):
+    x: jnp.ndarray  # [6] increment to apply next iteration
+    T: jnp.ndarray  # [4, 4] current warp estimate
+    initial: jnp.ndarray  # [4, 4] remaining prior offset
+    inc_applied: jnp.ndarray  # [4, 4] last successfully applied increment
+    precision: jnp.ndarray  # [2, 2]
+    error: jnp.ndarray  # [] previous -log-likelihood
+    A: jnp.ndarray  # [6, 6] information of last accepted iteration
+    ll: jnp.ndarray  # [] log-likelihood of last accepted iteration
+    n: jnp.ndarray  # [] valid constraints of last accepted iteration
+    iteration: jnp.ndarray  # []
+    termination: jnp.ndarray  # []
+    done: jnp.ndarray  # [] bool
+
+
+def _solve_jacobi_preconditioned(A, b):
+    """Solve the 6x6 system with diagonal pre-scaling.
+
+    The reference solves in float64 via LDLT (dense_tracking.cpp:345-347);
+    on TPU we stay in float32 and recover conditioning with symmetric
+    Jacobi preconditioning: D^-1/2 A D^-1/2 y = D^-1/2 b, x = D^-1/2 y.
+    """
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(A), 1e-20))
+    d_inv = 1.0 / d
+    A_s = A * d_inv[:, None] * d_inv[None, :]
+    b_s = b * d_inv
+    y = jnp.linalg.solve(A_s, b_s)
+    return y * d_inv
+
+
+def _weights_for(cfg: TrackerConfig, residuals, precision, mask):
+    """Influence-function dispatch (static on cfg).
+
+    The bivariate t-distribution is the production path
+    (dense_tracking_impl.cpp:640-707); Huber/Tukey operate on the
+    Mahalanobis distance for the univariate registry parity."""
+    if not cfg.use_weighting or cfg.influence_function is InfluenceFunction.UNIT:
+        return mask.astype(residuals.dtype)
+    if cfg.influence_function is InfluenceFunction.TDISTRIBUTION:
+        return robust.tdist_weights(
+            residuals, precision, mask, cfg.influence_function_param
+        )
+    d = jnp.sqrt(jnp.maximum(robust.mahalanobis_sq(residuals, precision), 0.0))
+    if cfg.influence_function is InfluenceFunction.HUBER:
+        w = robust.huber_weights(d)
+    elif cfg.influence_function is InfluenceFunction.TUKEY:
+        w = robust.tukey_weights(d)
+    else:
+        raise ValueError(f"unknown influence function {cfg.influence_function}")
+    return jnp.where(mask, w, 0.0)
+
+
+def _scale_for(cfg: TrackerConfig, residuals, weights, n, prev_precision):
+    """Scale-estimator dispatch (static on cfg) returning a precision."""
+    if cfg.scale_estimator is ScaleEstimator.TDISTRIBUTION:
+        sigma = robust.tdist_scale(residuals, weights, n)
+        return robust.precision_from_scale(sigma)
+    if cfg.scale_estimator is ScaleEstimator.UNIT:
+        return jnp.eye(2, dtype=residuals.dtype)
+    if cfg.scale_estimator is ScaleEstimator.NORMAL:
+        mask = weights > 0
+        s_i = robust.normal_scale(residuals[:, 0], mask)
+        s_z = robust.normal_scale(residuals[:, 1], mask)
+        return jnp.diag(
+            1.0 / jnp.maximum(jnp.stack([s_i, s_z]) ** 2, 1e-12)
+        )
+    if cfg.scale_estimator is ScaleEstimator.MAD:
+        mask = weights > 0
+        s_i = robust.mad_scale(residuals[:, 0], mask)
+        s_z = robust.mad_scale(residuals[:, 1], mask)
+        return jnp.diag(
+            1.0 / jnp.maximum(jnp.stack([s_i, s_z]) ** 2, 1e-12)
+        )
+    raise ValueError(f"unknown scale estimator {cfg.scale_estimator}")
+
+
+def _match_level(
+    cfg: TrackerConfig,
+    intrinsics: Intrinsics,
+    ref_level: PyramidLevel,
+    sel_mask,
+    cur_accel,
+    x0,
+    T0,
+    initial0,
+    precision0,
+):
+    """Run the IRLS Gauss-Newton iteration on one pyramid level."""
+    dtype = ref_level.intensity.dtype
+
+    def residual_fn(T):
+        return compute_residuals(
+            ref_level.intensity,
+            ref_level.depth,
+            ref_level.idx,
+            ref_level.idy,
+            sel_mask,
+            cur_accel,
+            intrinsics,
+            T,
+        )
+
+    def body(c: _Carry) -> _Carry:
+        inc = se3.exp_se3(c.x)
+        T_new = inc @ c.T
+        initial_new = se3.inverse(inc) @ c.initial
+
+        rd: ResidualData = residual_fn(T_new)
+        n = rd.num_valid
+        too_few = n < 6
+
+        first = c.iteration == 0
+        w_lagged = _weights_for(cfg, rd.residuals, c.precision, rd.mask)
+        weights = jnp.where(first, rd.mask.astype(dtype), w_lagged)
+
+        precision_new = _scale_for(cfg, rd.residuals, weights, n, c.precision)
+        ll = robust.tdist_log_likelihood(rd.residuals, precision_new, rd.mask)
+        error = -ll
+
+        accept = error < c.error
+        reject = too_few | ~accept
+
+        A, b = normal_equations(rd, weights, precision_new)
+        if cfg.use_estimate_smoothing:
+            # Prior toward the initial guess (dense_tracking.cpp:345-346).
+            A = A + cfg.mu * jnp.eye(6, dtype=dtype)
+            b = b + cfg.mu * se3.log_se3(initial_new)
+        x_new = _solve_jacobi_preconditioned(A, b)
+
+        converged = jnp.max(jnp.abs(x_new)) <= cfg.precision
+        exceeded = c.iteration + 1 >= cfg.max_iterations_per_level
+
+        if _DEBUG:
+            jax.debug.print(
+                "it={i} n={n} err={e} acc={a} xmax={x} P={p}",
+                i=c.iteration, n=n, e=error, a=accept,
+                x=jnp.max(jnp.abs(x_new)), p=precision_new.ravel(),
+            )
+
+        termination = jnp.where(
+            too_few,
+            TERM_TOO_FEW_CONSTRAINTS,
+            jnp.where(
+                ~accept,
+                TERM_LOG_LIKELIHOOD_DECREASED,
+                jnp.where(
+                    converged,
+                    TERM_INCREMENT_TOO_SMALL,
+                    jnp.where(exceeded, TERM_ITERATIONS_EXCEEDED, TERM_NONE),
+                ),
+            ),
+        ).astype(jnp.int32)
+
+        # On reject, keep the previous estimate (the Revertable rollback) and
+        # the previous accepted statistics; the loop then stops.
+        keep = lambda new, old: jnp.where(reject, old, new)
+        return _Carry(
+            x=keep(x_new, c.x),
+            T=keep(T_new, c.T),
+            initial=keep(initial_new, c.initial),
+            inc_applied=jnp.where(reject, c.inc_applied, inc),
+            precision=keep(precision_new, c.precision),
+            error=keep(error, c.error),
+            A=keep(A, c.A),
+            ll=keep(ll, c.ll),
+            n=jnp.where(reject, c.n, n),
+            iteration=c.iteration + 1,
+            termination=termination,
+            done=reject | converged | exceeded,
+        )
+
+    init = _Carry(
+        x=x0,
+        T=T0,
+        initial=initial0,
+        inc_applied=se3.exp_se3(x0),
+        precision=precision0,
+        error=jnp.asarray(jnp.inf, dtype),
+        A=jnp.eye(6, dtype=dtype),
+        ll=jnp.asarray(-jnp.inf, dtype),
+        n=jnp.asarray(0, jnp.int32),
+        iteration=jnp.asarray(0, jnp.int32),
+        termination=jnp.asarray(TERM_NONE, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(lambda c: ~c.done, body, init)
+    stats = LevelStats(
+        valid_pixels=sel_mask.sum(dtype=jnp.int32),
+        valid_constraints=final.n,
+        iterations=final.iteration,
+        termination=final.termination,
+    )
+    return final, stats
+
+
+def match_pyramids(
+    cfg: TrackerConfig,
+    intrinsics: Intrinsics,
+    ref_levels: Sequence[PyramidLevel],
+    cur_levels: Sequence[PyramidLevel],
+    initial_transformation=None,
+) -> TrackingResult:
+    """Align a current frame against a reference frame.
+
+    Pure function of its array arguments: jit it with (cfg, intrinsics)
+    static, or vmap it over a leading batch dimension for the dual
+    keyframe/odometry match and loop-closure proposal waves.
+
+    ``initial_transformation`` follows the reference convention: it is the
+    result-space pose guess (current-in-reference); internally the warp
+    estimate is its inverse, applied as the first increment
+    (dense_tracking.cpp:146-149 — "our first increment is the given guess").
+    """
+    if len(ref_levels) <= cfg.first_level or len(cur_levels) <= cfg.first_level:
+        raise ValueError(
+            f"config needs pyramid levels up to {cfg.first_level} but got "
+            f"{len(ref_levels)} ref / {len(cur_levels)} cur levels; build "
+            f"pyramids with cfg.num_levels = {cfg.num_levels}"
+        )
+    dtype = ref_levels[0].intensity.dtype
+    if initial_transformation is None:
+        guess = jnp.eye(4, dtype=dtype)
+    else:
+        # Result space is estimate^{-1}; the first increment is the estimate.
+        guess = se3.inverse(jnp.asarray(initial_transformation, dtype))
+
+    x = se3.log_se3(guess)
+    T = se3.identity(dtype)
+    initial = guess
+    precision = jnp.eye(2, dtype=dtype)
+
+    level_stats = []
+    final = None
+    for level in range(cfg.first_level, cfg.last_level - 1, -1):
+        ref_level = ref_levels[level]
+        cur_level = cur_levels[level]
+        k_level = intrinsics.at_level(level)
+        sel = selection_mask(
+            ref_level,
+            cfg.intensity_derivative_threshold,
+            cfg.depth_derivative_threshold,
+        )
+        accel = build_acceleration(cur_level)
+        final, stats = _match_level(
+            cfg, k_level, ref_level, sel, accel, x, T, initial, precision
+        )
+        level_stats.append(stats)
+        # Next level starts from the last *applied* increment, matching the
+        # reference's `x = inc.log()` at level entry (dense_tracking.cpp:241).
+        x = se3.log_se3(final.inc_applied)
+        T = final.T
+        initial = final.initial
+        precision = final.precision
+
+    if cfg.use_estimate_smoothing:
+        prior = cfg.mu * jnp.sum(se3.log_se3(final.initial) ** 2)
+    else:
+        prior = jnp.zeros((), dtype)
+    return TrackingResult(
+        transformation=se3.inverse(final.T),
+        information=final.A * INFORMATION_SCALE,
+        neg_log_likelihood=-final.ll + prior,
+        level_stats=tuple(level_stats),
+    )
+
+
+class DenseTracker:
+    """Stateful convenience wrapper with jit caching.
+
+    Mirrors the reference DenseTracker facade (dense_tracking.h:39-213):
+    holds a config + intrinsics, compiles one XLA executable per pyramid
+    shape, and exposes frame-level and pyramid-level match entry points.
+    """
+
+    def __init__(self, intrinsics: Intrinsics, cfg: Optional[TrackerConfig] = None):
+        self.cfg = cfg or TrackerConfig()
+        self.intrinsics = intrinsics
+        self._jitted = functools.partial(
+            jax.jit(
+                functools.partial(match_pyramids, self.cfg, self.intrinsics),
+            )
+        )
+
+    def build_pyramid(self, intensity, depth, valid):
+        return build_pyramid(intensity, depth, valid, self.cfg.num_levels)
+
+    def match(
+        self, ref_levels, cur_levels, initial_transformation=None
+    ) -> TrackingResult:
+        if initial_transformation is None:
+            initial_transformation = jnp.eye(4, dtype=ref_levels[0].intensity.dtype)
+        return self._jitted(ref_levels, cur_levels, initial_transformation)

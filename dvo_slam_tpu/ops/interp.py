@@ -1,0 +1,77 @@
+"""Bilinear sampling of the acceleration tensor.
+
+TPU-native replacement for the reference's one-load interpolation of the
+8-channel acceleration image (dense_tracking_impl.cpp:84-108) and the
+Interpolation helpers (dvo_core/src/core/interpolation.cpp).
+
+Instead of NaN propagation, validity travels as an explicit channel: a
+sample is valid only if all four bilinear neighbors are valid, exactly
+reproducing the reference's post-interpolation isfinite check (NaN * 0 is
+still NaN, so even zero-weight neighbors poison a sample there).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+VALID_CHANNEL = 6
+
+
+def bilinear_sample_accel(accel, u, v):
+    """Sample the [H, W, 8] acceleration tensor at float coords (u, v) [N].
+
+    Returns ``(values [N, 8], valid [N])``.  Bounds follow the reference's
+    ``inImage(x, y) && inImage(x+1, y+1)`` test
+    (dense_tracking_impl.cpp:78), i.e. 0 <= u < W-1 and 0 <= v < H-1 so the
+    2x2 support is fully inside the image.
+    """
+    h, w, c = accel.shape
+    in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
+
+    u = jnp.clip(u, 0.0, w - 1.001)
+    v = jnp.clip(v, 0.0, h - 1.001)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    x1w = u - x0
+    y1w = v - y0
+    x0w = 1.0 - x1w
+    y0w = 1.0 - y1w
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    flat = accel.reshape(h * w, c)
+    a00 = flat[y0i * w + x0i]
+    a10 = flat[y0i * w + x1i]
+    a01 = flat[y1i * w + x0i]
+    a11 = flat[y1i * w + x1i]
+
+    values = (a00 * x0w[:, None] + a10 * x1w[:, None]) * y0w[:, None] + (
+        a01 * x0w[:, None] + a11 * x1w[:, None]
+    ) * y1w[:, None]
+
+    neighbors_valid = (
+        (a00[:, VALID_CHANNEL] > 0.5)
+        & (a10[:, VALID_CHANNEL] > 0.5)
+        & (a01[:, VALID_CHANNEL] > 0.5)
+        & (a11[:, VALID_CHANNEL] > 0.5)
+    )
+    return values, in_bounds & neighbors_valid
+
+
+def bilinear_sample_image(img, u, v):
+    """Plain bilinear sampling of a single-channel [H, W] image at (u, v).
+
+    Scalar analog of Interpolation::bilinear (interpolation.cpp:40-53);
+    out-of-bounds samples return 0 with ``valid`` False.
+    """
+    h, w = img.shape
+    accel = img[..., None]
+    padded = jnp.concatenate(
+        [accel] * 6 + [jnp.ones_like(accel), jnp.zeros_like(accel)], axis=-1
+    )
+    values, _ = bilinear_sample_accel(padded, u, v)
+    in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
+    return jnp.where(in_bounds, values[:, 0], 0.0), in_bounds

@@ -1,0 +1,22 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding code paths
+execute without TPU hardware (the capability matrix SURVEY.md section 4
+calls for).  The sandbox environment forces JAX_PLATFORMS=axon (a tunneled
+TPU) with a plugin injected via PYTHONPATH; both must be overridden before
+the first `import jax` or every test op round-trips through the tunnel.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Drop the axon TPU plugin site dir so plugin discovery cannot touch the
+# (sometimes hanging) remote-compile tunnel during CPU-only test runs.
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
