@@ -110,3 +110,42 @@ class SlamConfig:
     tracker: TrackerConfig = TrackerConfig()
     keyframe: KeyframeConfig = KeyframeConfig()
     graph: GraphConfig = GraphConfig()
+
+
+def benchmark_config() -> SlamConfig:
+    """The TUM benchmark operating point: the parameters the reference's
+    benchmark launch files actually deploy, which differ from the compiled
+    defaults (reference: dvo_benchmark/launch/benchmark.yaml and
+    benchmark_backend.yaml)."""
+    return SlamConfig(
+        tracker=TrackerConfig(
+            first_level=3,
+            last_level=1,
+            max_iterations_per_level=50,
+            precision=1e-4,
+            use_initial_estimate=True,
+            use_weighting=True,
+            mu=0.05,
+        ),
+        keyframe=KeyframeConfig(
+            max_translational_distance=0.2,
+            min_entropy_ratio=0.6,
+            min_equation_system_constraint_ratio=0.3,
+        ),
+        graph=GraphConfig(
+            use_robust_kernel=True,
+            new_constraint_search_radius=5.0,
+            new_constraint_min_entropy_ratio_coarse=0.03,
+            new_constraint_min_entropy_ratio_fine=0.6,
+            min_equation_system_constraint_ratio=0.3,
+            min_constraint_distance=0,
+            optimization_use_dense_graph=False,
+            optimization_iterations=50,
+            optimization_remove_outliers=True,
+            optimization_outlier_weight_threshold=0.1,
+            final_optimization_use_dense_graph=True,
+            final_optimization_iterations=1000,
+            final_optimization_remove_outliers=True,
+            final_optimization_outlier_weight_threshold=0.1,
+        ),
+    )

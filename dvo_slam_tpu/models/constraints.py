@@ -1,0 +1,302 @@
+"""Loop-closure constraint proposals: two-stage batched validation.
+
+Replaces the reference's constraints subsystem
+(dvo_slam/src/constraints/*): candidate keyframe pairs become
+ConstraintProposals, validated by a two-stage pipeline — a coarse
+single-level screen and a fine full-pyramid refinement — with voter-based
+accept/reject (built at keyframe_graph.cpp:500-522).
+
+TPU-native translation (SURVEY.md section 2.5, P4): where the reference
+fans proposals across TBB threads with thread-local DenseTracker pools
+(keyframe_graph.cpp:555-593), every stage here is ONE batched vmapped
+alignment over all live proposals; voting stays on host (cheap, branchy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import GraphConfig, TrackerConfig
+from ..ops.camera import Intrinsics
+from .dense_tracker import TrackingResult
+from .evaluation import TrackingResultEvaluation
+from .frames import BatchedMatcher, Keyframe
+from .local_tracker import result_is_nan
+
+
+@dataclass
+class Vote:
+    """Reference: ConstraintProposal::Vote (constraint_proposal.h)."""
+
+    accept: bool
+    score: float = 0.0
+    reason: str = ""
+
+
+@dataclass
+class ConstraintProposal:
+    """Candidate loop edge (reference: constraint_proposal.h/cpp).
+
+    ``initial_pose`` is in result/pose space (current-in-reference); the
+    reference stores the warp in its InitialTransformation slot, which our
+    pose-space match API inverts internally — the two are equivalent.
+    """
+
+    reference: Keyframe
+    current: Keyframe
+    initial_pose: np.ndarray
+    result: Optional[TrackingResult] = None
+    votes: List[Vote] = field(default_factory=list)
+
+    @property
+    def total_score(self) -> float:
+        return sum(v.score for v in self.votes)
+
+    @property
+    def accept(self) -> bool:
+        return all(v.accept for v in self.votes)
+
+    @property
+    def reject(self) -> bool:
+        return any(not v.accept for v in self.votes)
+
+    def same_frames(self, other: "ConstraintProposal") -> bool:
+        a = (self.reference.id, self.current.id)
+        b = (other.reference.id, other.current.id)
+        return a == b or a == b[::-1]
+
+    def inverse(self) -> "ConstraintProposal":
+        return ConstraintProposal(
+            reference=self.current,
+            current=self.reference,
+            initial_pose=np.linalg.inv(self.initial_pose),
+        )
+
+    @staticmethod
+    def with_identity(reference: Keyframe, current: Keyframe) -> "ConstraintProposal":
+        return ConstraintProposal(reference, current, np.eye(4))
+
+    @staticmethod
+    def with_relative(reference: Keyframe, current: Keyframe) -> "ConstraintProposal":
+        """Initialize from current graph poses: pose-space init
+        reference.pose^{-1} current.pose (the warp-space
+        current.pose^{-1} * reference.pose of constraint_proposal.cpp:44)."""
+        init = np.linalg.inv(reference.pose) @ current.pose
+        return ConstraintProposal(reference, current, init)
+
+
+def validation_tracker_config(base: TrackerConfig) -> TrackerConfig:
+    """Stage-1 coarse screen config: single coarsest level.
+
+    The reference hard-codes levels 3->3 for its 4-level pyramids
+    (configureValidationTracking, keyframe_graph.cpp:829-837); expressed
+    relative to the base config so shallower test pyramids work too."""
+    return dataclasses.replace(
+        TrackerConfig(),
+        first_level=base.first_level,
+        last_level=base.first_level,
+        precision=base.precision,
+        use_initial_estimate=True,
+        mu=base.mu,
+        intensity_derivative_threshold=base.intensity_derivative_threshold,
+        depth_derivative_threshold=base.depth_derivative_threshold,
+    )
+
+
+def constraint_tracker_config(base: TrackerConfig) -> TrackerConfig:
+    """Stage-2 fine refinement config: full pyramid down to the base
+    config's finest level.
+
+    The reference hard-codes 3->1 (keyframe_graph.cpp:819-828), which
+    coincides with its deployed tracking config's last level — and the
+    entropy-ratio voter depends on that coincidence: it compares the
+    proposal's log-likelihood against the keyframe's running average from
+    tracking, which only has matching scale when both solve down to the
+    same level.  Following base.last_level preserves that invariant for
+    any configuration."""
+    return dataclasses.replace(
+        TrackerConfig(),
+        first_level=base.first_level,
+        last_level=base.last_level,
+        precision=base.precision,
+        use_initial_estimate=True,
+        mu=base.mu,
+        intensity_derivative_threshold=base.intensity_derivative_threshold,
+        depth_derivative_threshold=base.depth_derivative_threshold,
+    )
+
+
+def _constraint_ratio(r: TrackingResult) -> float:
+    pixels = max(int(r.last_level.valid_pixels), 1)
+    return int(r.last_level.valid_constraints) / pixels
+
+
+class ConstraintProposalValidator:
+    """Two-stage batched proposal validation
+    (reference: constraint_proposal_validator.cpp:69-160).
+
+    Stage 1 (coarse, keep all): voters = odometry-reject, NaN, constraint
+    ratio, entropy ratio (coarse), cross-validation (forward+backward
+    agreement).  Stage 2 (fine, keep best per pair): NaN, constraint
+    ratio, entropy ratio (fine).
+    """
+
+    def __init__(
+        self,
+        intrinsics: Intrinsics,
+        graph_cfg: GraphConfig,
+        tracker_cfg: TrackerConfig,
+    ):
+        self.cfg = graph_cfg
+        self.stage1_matcher = BatchedMatcher(
+            validation_tracker_config(tracker_cfg), intrinsics
+        )
+        self.stage2_matcher = BatchedMatcher(
+            constraint_tracker_config(tracker_cfg), intrinsics
+        )
+
+    def validate(self, proposals: List[ConstraintProposal]) -> List[ConstraintProposal]:
+        proposals = self._stage1(proposals)
+        proposals = self._stage2(proposals)
+        return proposals
+
+    # -- stages -----------------------------------------------------------
+    def _match_all(self, matcher: BatchedMatcher, proposals):
+        results = matcher.match_many(
+            [(p.reference.frame, p.current.frame, p.initial_pose) for p in proposals]
+        )
+        for p, r in zip(proposals, results):
+            p.result = r
+            p.votes = []
+
+    def _stage1(self, proposals: List[ConstraintProposal]) -> List[ConstraintProposal]:
+        if not proposals:
+            return []
+        # cross-validation: add the inverse of every proposal
+        pairs = []
+        additional = []
+        for p in proposals:
+            inv = p.inverse()
+            pairs.append((p, inv))
+            additional.append(inv)
+        all_props = proposals + additional
+
+        self._match_all(self.stage1_matcher, all_props)
+
+        inverse_of = {}
+        for a, b in pairs:
+            inverse_of[id(a)] = b
+            inverse_of[id(b)] = a
+
+        for p in all_props:
+            self._vote(
+                p,
+                [
+                    self._vote_odometry,
+                    self._vote_nan,
+                    lambda q: self._vote_ratio(q, self.cfg.min_equation_system_constraint_ratio),
+                    lambda q: self._vote_entropy(
+                        q, self.cfg.new_constraint_min_entropy_ratio_coarse
+                    ),
+                    lambda q: self._vote_cross_validation(q, inverse_of[id(q)]),
+                ],
+            )
+
+        # remove the worse half of each forward/backward pair
+        # (CrossValidationVoter::removeAdditionalProposals,
+        # constraint_proposal_voter.cpp:48-65)
+        removed = set()
+        for fwd, bwd in pairs:
+            worse = bwd if (fwd.total_score >= bwd.total_score and fwd.accept) else fwd
+            removed.add(id(worse))
+        survivors = [p for p in all_props if id(p) not in removed and not p.reject]
+        self._update_initials(survivors)
+        return survivors
+
+    def _stage2(self, proposals: List[ConstraintProposal]) -> List[ConstraintProposal]:
+        if not proposals:
+            return []
+        self._match_all(self.stage2_matcher, proposals)
+        for p in proposals:
+            self._vote(
+                p,
+                [
+                    self._vote_nan,
+                    lambda q: self._vote_ratio(q, self.cfg.min_equation_system_constraint_ratio),
+                    lambda q: self._vote_entropy(
+                        q, self.cfg.new_constraint_min_entropy_ratio_fine
+                    ),
+                ],
+            )
+        proposals = [p for p in proposals if not p.reject]
+        proposals = self._keep_best(proposals)
+        self._update_initials(proposals)
+        return proposals
+
+    @staticmethod
+    def _vote(p: ConstraintProposal, voters):
+        for voter in voters:
+            p.votes.append(voter(p))
+            if not p.votes[-1].accept:
+                break  # early abort (constraint_proposal_validator.cpp:155-158)
+
+    @staticmethod
+    def _keep_best(proposals: List[ConstraintProposal]) -> List[ConstraintProposal]:
+        """One proposal per frame pair, highest total score
+        (constraint_proposal_validator.cpp:104-130)."""
+        out: List[ConstraintProposal] = []
+        for p in proposals:
+            for i, q in enumerate(out):
+                if p.same_frames(q):
+                    if p.total_score > q.total_score:
+                        out[i] = p
+                    break
+            else:
+                out.append(p)
+        return out
+
+    @staticmethod
+    def _update_initials(proposals):
+        """Feed each stage's estimate to the next as its initial pose
+        (constraint_proposal_validator.cpp:95-100)."""
+        for p in proposals:
+            p.initial_pose = np.asarray(p.result.transformation, np.float64)
+
+    # -- voters -----------------------------------------------------------
+    @staticmethod
+    def _vote_odometry(p: ConstraintProposal) -> Vote:
+        is_odo = abs(p.reference.id - p.current.id) <= 1
+        return Vote(not is_odo, reason=f"OdometryConstraint {is_odo}")
+
+    @staticmethod
+    def _vote_nan(p: ConstraintProposal) -> Vote:
+        nan = result_is_nan(p.result)
+        return Vote(not nan, reason=f"NaNResult {nan}")
+
+    @staticmethod
+    def _vote_ratio(p: ConstraintProposal, threshold: float) -> Vote:
+        ratio = _constraint_ratio(p.result)
+        return Vote(ratio >= threshold, reason=f"ConstraintRatio {ratio:.3f}")
+
+    @staticmethod
+    def _vote_entropy(p: ConstraintProposal, threshold: float) -> Vote:
+        evaluation: TrackingResultEvaluation = p.reference.evaluation
+        if evaluation is None:
+            return Vote(False, reason="no evaluation")
+        ratio = evaluation.ratio_with_average(p.result)
+        return Vote(ratio >= threshold, score=ratio, reason=f"Entropy {ratio:.3f}")
+
+    @staticmethod
+    def _vote_cross_validation(
+        p: ConstraintProposal, inverse: "ConstraintProposal", threshold: float = 1.0
+    ) -> Vote:
+        """Forward and backward estimates must compose to ~identity
+        (constraint_proposal_voter.cpp:67-89)."""
+        T_f = np.asarray(p.result.transformation, np.float64)
+        T_b = np.asarray(inverse.result.transformation, np.float64)
+        diff = np.linalg.norm((T_b @ T_f)[:3, 3])
+        return Vote(diff <= threshold, reason=f"CrossValidation {diff:.3f}")

@@ -1,0 +1,61 @@
+"""Tracking-result quality statistics for keyframe policy and loop voting.
+
+Replaces the reference's TrackingResultEvaluation hierarchy
+(dvo_slam/src/tracking_result_evaluation.cpp:26-62): a running
+first/average of a scalar quality value per keyframe, with ratio queries
+used by the keyframe-switch criterion (keyframe_tracker.cpp:105-121) and
+the loop-proposal entropy voter (constraint_proposal_voter.cpp:101-121).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dense_tracker import TrackingResult
+
+
+class TrackingResultEvaluation:
+    """Running first/average statistic; subclasses define value(r)."""
+
+    def __init__(self, first_result: TrackingResult):
+        self._first = self.value(first_result)
+        self._average = self._first
+        self._n = 1.0
+
+    def value(self, r: TrackingResult) -> float:
+        raise NotImplementedError
+
+    def add(self, r: TrackingResult):
+        self._average += self.value(r)
+        self._n += 1.0
+
+    def ratio_with_first(self, r: TrackingResult) -> float:
+        return self.value(r) / self._first
+
+    def ratio_with_average(self, r: TrackingResult) -> float:
+        # reference: value(r) / average_ * n_ (tracking_result_evaluation.cpp:40)
+        return self.value(r) / self._average * self._n
+
+
+class LogLikelihoodEvaluation(TrackingResultEvaluation):
+    """value = -Result.LogLikelihood (the front end's default,
+    keyframe_tracker.cpp:98)."""
+
+    def value(self, r: TrackingResult) -> float:
+        return -float(r.neg_log_likelihood)
+
+
+class NormalizedLogLikelihoodEvaluation(TrackingResultEvaluation):
+    """value = -LogLikelihood / valid constraints."""
+
+    def value(self, r: TrackingResult) -> float:
+        n = max(int(r.last_level.valid_constraints), 1)
+        return -float(r.neg_log_likelihood) / n
+
+
+class EntropyEvaluation(TrackingResultEvaluation):
+    """value = log det(Information) — the 'entropy' variant."""
+
+    def value(self, r: TrackingResult) -> float:
+        sign, logdet = np.linalg.slogdet(np.asarray(r.information, np.float64))
+        return float(logdet) if sign > 0 else -np.inf

@@ -1,0 +1,305 @@
+"""KeyframeGraph: the global pose-graph SLAM back end.
+
+Replaces the reference's g2o-backed KeyframeGraph
+(dvo_slam/src/keyframe_graph.cpp).  Structure of the global graph:
+
+  * keyframe vertices keyed ("kf", k) — the chain of local-map keyframes;
+  * odometry vertices keyed ("f", n) — intermediate frames, connected by
+    edges at level 2 (excluded from incremental optimization, included in
+    the dense final pass — the reference's negative-id renumbering +
+    edge-level scheme, keyframe_graph.cpp:741-817);
+  * loop-closure edges between keyframes with Cauchy robustification.
+
+When a LocalMap completes, its keyframe vertex is the previous map's last
+frame: the reference encodes this by id arithmetic (the renumbered map
+keyframe collides with the existing odometry vertex, then g2o changeId
+promotes it, keyframe_graph.cpp:759-794); here the same promotion is an
+explicit rename of the pending vertex key.
+
+The optimization thread + concurrent queue of the reference
+(keyframe_graph.cpp:401-432) becomes optional: synchronous by default
+(deterministic tests/benchmarks), with a background worker available via
+``use_threading=True``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import GraphConfig, TrackerConfig
+from ..ops.camera import Intrinsics
+from .constraints import ConstraintProposal, ConstraintProposalValidator
+from .frames import Keyframe
+from .local_map import LocalMap
+from .pose_graph import PoseGraph
+
+ODOMETRY_EDGE_LEVEL = 2  # reference: keyframe_graph.cpp:771
+
+
+class KeyframeGraph:
+    """Global keyframe pose graph with loop-closure search + validation."""
+
+    def __init__(
+        self,
+        intrinsics: Intrinsics,
+        cfg: Optional[GraphConfig] = None,
+        tracker_cfg: Optional[TrackerConfig] = None,
+        use_threading: bool = False,
+    ):
+        self.cfg = cfg or GraphConfig()
+        self.tracker_cfg = tracker_cfg or TrackerConfig()
+        self.intrinsics = intrinsics
+        self.validator = ConstraintProposalValidator(
+            intrinsics, self.cfg, self.tracker_cfg
+        )
+        self.keyframes: List[Keyframe] = []
+        self.graph = PoseGraph(vertex_capacity=64, edge_capacity=128)
+        self.timestamps: Dict[object, float] = {}
+        self.map_changed_callbacks: List[Callable] = []
+        self._frame_counter = 0
+        self._pending_key = None  # odometry key of the next keyframe vertex
+        self._pending_edge: Optional[int] = None  # its keyframe edge index
+        self._pending_meas: Optional[np.ndarray] = None
+        self._existing_constraints = set()  # frozenset({id_a, id_b})
+
+        self._queue: "queue.Queue[LocalMap]" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._shutdown = False
+        if use_threading:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+
+    # -- public API (reference: keyframe_graph.h:44-75) -------------------
+    def add_map_changed_callback(self, cb: Callable):
+        self.map_changed_callbacks.append(cb)
+
+    def add(self, local_map: LocalMap):
+        """Queue a completed local map (keyframe_graph.cpp:161-174)."""
+        if self._thread is not None:
+            self._queue.put(local_map)
+        else:
+            self._new_keyframe(local_map)
+
+    def wait_for_queue(self):
+        if self._thread is not None:
+            self._queue.join()
+
+    def shutdown(self):
+        self._shutdown = True
+        if self._thread is not None:
+            self._queue.put(None)
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    def _worker(self):
+        while True:
+            m = self._queue.get()
+            try:
+                if m is None or self._shutdown:
+                    return
+                self._new_keyframe(m)
+            finally:
+                self._queue.task_done()
+
+    # -- keyframe insertion ------------------------------------------------
+    def _insert_new_keyframe(self, m: LocalMap) -> Keyframe:
+        """Merge a completed local map into the global graph
+        (reference: insertNewKeyframe, keyframe_graph.cpp:741-817)."""
+        new_id = len(self.keyframes) + 1
+        kf_key = ("kf", new_id)
+
+        if self.keyframes:
+            # Re-anchor the local map: its keyframe is the previous map's
+            # last frame, whose graph pose is the previous keyframe pose
+            # composed with the pending keyframe-edge measurement
+            # (keyframe_graph.cpp:744-753).
+            prev_pose = self.graph.vertex_pose(("kf", new_id - 1)).astype(np.float64)
+            m.set_keyframe_pose(prev_pose @ self._pending_meas)
+
+        m.optimize(50)
+
+        edge_level = 0 if self.cfg.optimization_use_dense_graph else ODOMETRY_EDGE_LEVEL
+
+        if self.keyframes:
+            # promote the pending odometry vertex to the new keyframe vertex
+            self.graph.rename_vertex(self._pending_key, kf_key)
+            self.graph.set_vertex_pose(kf_key, m.keyframe_pose())
+            # promote its keyframe edge to level 0 (keyframe_graph.cpp:786-794)
+            self.graph.set_edge_level(self._pending_edge, 0)
+        else:
+            self.graph.add_vertex(kf_key, m.keyframe_pose(), fixed=True)
+        self.timestamps[kf_key] = m.keyframe.timestamp
+
+        # insert the map's frames as odometry vertices with its optimized
+        # poses, and all its edges at the odometry level
+        frame_keys = {0: kf_key}
+        ts = m.frame_timestamps
+        for i in range(1, m.num_frames + 1):
+            key = ("f", self._frame_counter)
+            self._frame_counter += 1
+            frame_keys[i] = key
+            self.graph.add_vertex(key, m.frame_pose(i))
+            self.timestamps[key] = ts[i]
+        for frm, to, meas, info in m.odometry_edges:
+            self.graph.add_edge(
+                frame_keys[frm], frame_keys[to], meas, info, level=edge_level
+            )
+        last_kf_edge_idx = None
+        for frm, to, meas, info in m.keyframe_edges:
+            last_kf_edge_idx = self.graph.add_edge(
+                frame_keys[frm], frame_keys[to], meas, info, level=edge_level
+            )
+
+        # the map's last frame seeds the next keyframe
+        self._pending_key = frame_keys[m.num_frames]
+        self._pending_edge = last_kf_edge_idx
+        self._pending_meas, _ = m.last_keyframe_edge()
+
+        keyframe = Keyframe(
+            id=new_id,
+            frame=m.keyframe,
+            pose=self.graph.vertex_pose(kf_key).astype(np.float64),
+            evaluation=m.evaluation,
+        )
+        self.keyframes.append(keyframe)
+        return keyframe
+
+    # -- constraint search -------------------------------------------------
+    def _find_candidates(self, keyframe: Keyframe) -> List[Keyframe]:
+        """Radius search over keyframe translations
+        (reference: keyframe_constraint_search.cpp:41-72 via FLANN kd-tree;
+        at O(100s) of keyframes a brute-force distance check is faster than
+        building a tree)."""
+        if len(self.keyframes) < 2:
+            return []
+        positions = np.stack([k.pose[:3, 3] for k in self.keyframes])
+        d = np.linalg.norm(positions - keyframe.pose[:3, 3], axis=1)
+        radius = self.cfg.new_constraint_search_radius
+        return [k for k, di in zip(self.keyframes, d) if di <= radius]
+
+    def _make_proposals(
+        self, keyframe: Keyframe, candidates: List[Keyframe]
+    ) -> List[ConstraintProposal]:
+        """Identity + relative-pose initialization per candidate
+        (keyframe_graph.cpp:583-584)."""
+        proposals = []
+        for c in candidates:
+            proposals.append(ConstraintProposal.with_identity(keyframe, c))
+            proposals.append(ConstraintProposal.with_relative(keyframe, c))
+        return proposals
+
+    def _insert_constraints(self, proposals: List[ConstraintProposal]) -> int:
+        """Insert accepted loop edges; returns the max keyframe-id distance
+        (reference: insertNewKeyframeConstraints, keyframe_graph.cpp:595-636)."""
+        max_distance = -1
+        for p in proposals:
+            pair = frozenset({p.reference.id, p.current.id})
+            self._existing_constraints.add(pair)
+            self.graph.add_edge(
+                ("kf", p.reference.id),
+                ("kf", p.current.id),
+                np.asarray(p.result.transformation, np.float64),
+                np.asarray(p.result.information, np.float64),
+                robust=self.cfg.use_robust_kernel,
+                level=0,
+            )
+            max_distance = max(max_distance, abs(p.reference.id - p.current.id))
+        return max_distance
+
+    def _update_keyframe_poses(self):
+        """Write optimized graph poses back to the keyframe records
+        (keyframe_graph.cpp:676-686)."""
+        for k in self.keyframes:
+            k.pose = self.graph.vertex_pose(("kf", k.id)).astype(np.float64)
+
+    def _fire_map_changed(self):
+        for cb in self.map_changed_callbacks:
+            cb(self)
+
+    def _new_keyframe(self, m: LocalMap):
+        """Process one completed local map
+        (reference: newKeyframe, keyframe_graph.cpp:434-498)."""
+        keyframe = self._insert_new_keyframe(m)
+        if len(self.keyframes) == 1:
+            return
+
+        candidates = self._find_candidates(keyframe)
+        proposals = self.validator.validate(self._make_proposals(keyframe, candidates))
+        max_distance = self._insert_constraints(proposals)
+
+        if max_distance >= self.cfg.min_constraint_distance:
+            self.graph.optimize(self.cfg.optimization_iterations // 2, max_level=0)
+            if self.cfg.optimization_remove_outliers:
+                self.graph.remove_outlier_edges(
+                    self.cfg.optimization_outlier_weight_threshold
+                )
+            self.graph.optimize(self.cfg.optimization_iterations // 2, max_level=0)
+            self._update_keyframe_poses()
+
+        self._fire_map_changed()
+
+    # -- final optimization -------------------------------------------------
+    def final_optimization(self):
+        """Dense final pass (reference: finalOptimization,
+        keyframe_graph.cpp:216-292): re-search constraints for every
+        keyframe, enable all edges, alternate optimize + outlier pruning."""
+        self.wait_for_queue()
+
+        for keyframe in self.keyframes:
+            candidates = []
+            for c in self._find_candidates(keyframe):
+                if abs(c.id - keyframe.id) <= 1:
+                    continue
+                if frozenset({c.id, keyframe.id}) in self._existing_constraints:
+                    continue
+                candidates.append(c)
+            proposals = self.validator.validate(
+                self._make_proposals(keyframe, candidates)
+            )
+            self._insert_constraints(proposals)
+
+        max_level = 0
+        if self.cfg.final_optimization_use_dense_graph:
+            self.graph.set_all_edge_levels(0)
+
+        for _ in range(10):
+            self.graph.optimize(
+                max(self.cfg.final_optimization_iterations // 10, 1),
+                max_level=max_level,
+            )
+            removed = 0
+            if self.cfg.final_optimization_remove_outliers:
+                removed = self.graph.remove_outlier_edges(
+                    self.cfg.final_optimization_outlier_weight_threshold
+                )
+            if removed == 0:
+                break
+
+        self._update_keyframe_poses()
+        self._fire_map_changed()
+
+    # -- trajectory export ---------------------------------------------------
+    def trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        """All graph vertices sorted by timestamp -> (stamps, poses [N,4,4])
+        (reference: TrajectorySerializer, map_serializer.cpp:44-65)."""
+        items = []
+        for key in self.graph.vertex_keys():
+            ts = self.timestamps.get(key)
+            if ts is None:
+                continue
+            items.append((ts, self.graph.vertex_pose(key).astype(np.float64)))
+        items.sort(key=lambda x: x[0])
+        if not items:
+            return np.zeros(0), np.zeros((0, 4, 4))
+        stamps, poses = zip(*items)
+        return np.asarray(stamps), np.asarray(poses)
+
+    def edge_errors(self):
+        """Per-edge diagnostics dump (reference: EdgeErrorSerializer,
+        map_serializer.cpp:76-93)."""
+        w, chi2 = self.graph.edge_diagnostics()
+        return w, chi2

@@ -1,0 +1,408 @@
+"""SE(3) pose-graph optimization in JAX — the g2o replacement.
+
+The reference delegates all graph optimization to g2o: the per-keyframe
+mini-graph uses Levenberg-Marquardt + CSparse (dvo_slam/src/local_map.cpp:57-90,
+208-213) and the global keyframe graph uses Dogleg + CSparse with Cauchy
+robust kernels of width 5 on loop-closure edges
+(dvo_slam/src/keyframe_graph.cpp:126-142, 840-853).
+
+TPU-native redesign (SURVEY.md section 7, translation 6):
+
+  * Vertices are a dense [N, 4, 4] pose tensor; edges are index arrays +
+    stacked [E, 4, 4] measurements and [E, 6, 6] information matrices with
+    a boolean active mask (the reference's edge "levels" and outlier
+    removal become mask updates — keyframe_graph.cpp:257-264, 643-674).
+  * One Gauss-Newton/LM iteration is a fixed-shape jit: batched edge
+    residuals/Jacobians, per-edge 6x6 Hessian blocks scattered into a
+    dense [6N, 6N] system, one Cholesky solve.  Block scatter-adds are
+    the P6 partial-sum merge; under pjit the same blocks psum over ICI
+    (parallel/distributed_ba.py).
+  * Graphs are padded to capacity so growth does not recompile.
+
+Conventions: vertex update is right-multiplicative (T <- T exp(xi));
+edge residual r = log(T_meas^{-1} T_i^{-1} T_j), so a perfect edge has
+T_meas = T_i^{-1} T_j (g2o EdgeSE3 convention, as produced by the
+front end's relative measurements, local_map.cpp:103-118).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import se3
+
+CAUCHY_DELTA = 5.0  # reference: keyframe_graph.cpp:845 (setDelta(5))
+
+
+class GraphArrays(NamedTuple):
+    """Device-side pose graph in padded dense-array form."""
+
+    poses: jnp.ndarray  # [N, 4, 4]
+    vertex_mask: jnp.ndarray  # [N] bool — allocated vertices
+    fixed_mask: jnp.ndarray  # [N] bool — gauge-fixed vertices
+    edge_i: jnp.ndarray  # [E] int32
+    edge_j: jnp.ndarray  # [E] int32
+    measurements: jnp.ndarray  # [E, 4, 4]
+    information: jnp.ndarray  # [E, 6, 6]
+    edge_mask: jnp.ndarray  # [E] bool — active edges
+    robust: jnp.ndarray  # [E] bool — Cauchy-robustified edges
+
+
+def edge_residuals(graph: GraphArrays):
+    """Per-edge residual r = log(T_m^{-1} T_i^{-1} T_j) and chi2 = r^T O r."""
+    Ti = graph.poses[graph.edge_i]
+    Tj = graph.poses[graph.edge_j]
+    B = se3.inverse(Ti) @ Tj
+    X = se3.inverse(graph.measurements) @ B
+    r = se3.log_se3(X)
+    chi2 = jnp.einsum("ei,eij,ej->e", r, graph.information, r)
+    return r, B, chi2
+
+
+def cauchy_weights(chi2, robust, delta: float = CAUCHY_DELTA):
+    """Cauchy robust-kernel weight rho'(s) = 1 / (1 + s/delta^2) on
+    robustified edges, 1 elsewhere (g2o RobustKernelCauchy semantics used
+    for outlier pruning at keyframe_graph.cpp:653-662)."""
+    w = 1.0 / (1.0 + chi2 / (delta * delta))
+    return jnp.where(robust, w, 1.0)
+
+
+def _edge_jacobians(r, B):
+    """J_j = Jr^{-1}(r), J_i = -Jr^{-1}(r) Ad(B^{-1}) for right-mult updates."""
+    jr_inv = se3.right_jacobian_inverse_approx(r)
+    adj_b_inv = se3.adjoint(se3.inverse(B))
+    return -jnp.einsum("eab,ebc->eac", jr_inv, adj_b_inv), jr_inv
+
+
+def _assemble_dense(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j, free):
+    """Scatter per-edge blocks into the dense [6N, 6N] normal equations,
+    applying the gauge: fixed vertices get zeroed rows/cols and an identity
+    diagonal so the solve stays non-singular."""
+    H = jnp.zeros((n, n, 6, 6), H_ii.dtype)
+    H = H.at[ei, ei].add(H_ii)
+    H = H.at[ei, ej].add(H_ij)
+    H = H.at[ej, ei].add(jnp.swapaxes(H_ij, -1, -2))
+    H = H.at[ej, ej].add(H_jj)
+    b = jnp.zeros((n, 6), b_i.dtype)
+    b = b.at[ei].add(b_i)
+    b = b.at[ej].add(b_j)
+
+    freef = free.astype(H.dtype)
+    H = H * freef[:, None, None, None] * freef[None, :, None, None]
+    eye = jnp.eye(6, dtype=H.dtype)
+    diag_fix = (1.0 - freef)[:, None, None] * eye
+    H = H.at[jnp.arange(n), jnp.arange(n)].add(diag_fix)
+    # small Levenberg damping for numerical safety on weakly constrained
+    # subgraphs (g2o's Dogleg serves the same robustness role)
+    H = H.at[jnp.arange(n), jnp.arange(n)].add(1e-6 * eye)
+    b = b * freef[:, None]
+
+    H_flat = H.transpose(0, 2, 1, 3).reshape(n * 6, n * 6)
+    return H_flat, b.reshape(n * 6)
+
+
+def _solve_scaled(H, b):
+    """Cholesky solve with symmetric Jacobi scaling (float32-safe)."""
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+    d_inv = 1.0 / d
+    Hs = H * d_inv[:, None] * d_inv[None, :]
+    bs = b * d_inv
+    L = jnp.linalg.cholesky(Hs + 1e-9 * jnp.eye(H.shape[0], dtype=H.dtype))
+    y = jax.scipy.linalg.cho_solve((L, True), bs)
+    return y * d_inv
+
+
+def gauss_newton_iteration(graph: GraphArrays, delta: float = CAUCHY_DELTA):
+    """One robust Gauss-Newton iteration; returns (new_graph, total_chi2)."""
+    r, B, chi2 = edge_residuals(graph)
+    w = cauchy_weights(chi2, graph.robust, delta) * graph.edge_mask
+    W = w[:, None, None] * graph.information  # [E, 6, 6]
+
+    J_i, J_j = _edge_jacobians(r, B)
+    WJi = jnp.einsum("eab,ebc->eac", W, J_i)
+    WJj = jnp.einsum("eab,ebc->eac", W, J_j)
+    H_ii = jnp.einsum("eba,ebc->eac", J_i, WJi)
+    H_ij = jnp.einsum("eba,ebc->eac", J_i, WJj)
+    H_jj = jnp.einsum("eba,ebc->eac", J_j, WJj)
+    Wr = jnp.einsum("eab,eb->ea", W, r)
+    b_i = jnp.einsum("eba,eb->ea", J_i, Wr)
+    b_j = jnp.einsum("eba,eb->ea", J_j, Wr)
+
+    n = graph.poses.shape[0]
+    free = graph.vertex_mask & ~graph.fixed_mask
+    H, b = _assemble_dense(n, graph.edge_i, graph.edge_j, H_ii, H_ij, H_jj, b_i, b_j, free)
+
+    delta_x = _solve_scaled(H, -b).reshape(n, 6)
+    delta_x = jnp.where(free[:, None], delta_x, 0.0)
+    new_poses = graph.poses @ se3.exp_se3(delta_x)
+    total = jnp.sum(jnp.where(graph.edge_mask, chi2, 0.0))
+    return graph._replace(poses=new_poses), total
+
+
+def optimize(graph: GraphArrays, iterations: int, delta: float = CAUCHY_DELTA):
+    """Run a fixed number of robust GN iterations (jit-able; mirrors
+    g2o's optimize(n) calls, e.g. keyframe_graph.cpp:481-489).
+
+    Returns (graph, chi2_history [iterations])."""
+
+    def body(g, _):
+        g, chi2 = gauss_newton_iteration(g, delta)
+        return g, chi2
+
+    graph, history = jax.lax.scan(body, graph, None, length=iterations)
+    return graph, history
+
+
+def edge_robust_weights(graph: GraphArrays, delta: float = CAUCHY_DELTA):
+    """Per-edge Cauchy weights for outlier pruning
+    (reference: removeOutlierConstraints, keyframe_graph.cpp:643-674)."""
+    _, _, chi2 = edge_residuals(graph)
+    return cauchy_weights(chi2, graph.robust, delta), chi2
+
+
+class PoseGraph:
+    """Host-side growable pose graph over padded device arrays.
+
+    Replaces the g2o SparseOptimizer facade used by LocalMap and
+    KeyframeGraph.  Vertices/edges are appended on host (NumPy) and the
+    padded arrays are shipped to the device per optimize() call; capacity
+    doubles amortize recompilation.
+    """
+
+    def __init__(self, vertex_capacity: int = 16, edge_capacity: int = 32, dtype=np.float32):
+        self.dtype = dtype
+        self._n = 0
+        self._e = 0
+        self._vertex_ids: dict = {}
+        self._alloc_vertices(vertex_capacity)
+        self._alloc_edges(edge_capacity)
+
+    def _alloc_vertices(self, cap):
+        self.poses = np.tile(np.eye(4, dtype=self.dtype), (cap, 1, 1))
+        self.fixed = np.zeros(cap, bool)
+
+    def _alloc_edges(self, cap):
+        self.edge_i = np.zeros(cap, np.int32)
+        self.edge_j = np.zeros(cap, np.int32)
+        self.measurements = np.tile(np.eye(4, dtype=self.dtype), (cap, 1, 1))
+        self.information = np.tile(np.eye(6, dtype=self.dtype), (cap, 1, 1))
+        self.edge_active = np.zeros(cap, bool)
+        self.robust = np.zeros(cap, bool)
+        # edge "level": 0 = always optimized, 2 = only in dense mode — the
+        # reference's g2o edge levels (keyframe_graph.cpp:764-772, 257-264)
+        self.edge_level = np.zeros(cap, np.int32)
+
+    @property
+    def num_vertices(self) -> int:
+        return self._n
+
+    @property
+    def num_edges(self) -> int:
+        return self._e
+
+    def add_vertex(self, key, pose, fixed: bool = False) -> int:
+        """Add (or update) a vertex keyed by any hashable id; returns index."""
+        if key in self._vertex_ids:
+            idx = self._vertex_ids[key]
+            self.poses[idx] = np.asarray(pose, self.dtype)
+            self.fixed[idx] = fixed
+            return idx
+        if self._n == len(self.poses):
+            old_p, old_f = self.poses, self.fixed
+            self._alloc_vertices(2 * len(old_p))
+            self.poses[: self._n] = old_p
+            self.fixed[: self._n] = old_f
+        idx = self._n
+        self._vertex_ids[key] = idx
+        self.poses[idx] = np.asarray(pose, self.dtype)
+        self.fixed[idx] = fixed
+        self._n += 1
+        return idx
+
+    def vertex_index(self, key) -> int:
+        return self._vertex_ids[key]
+
+    def has_vertex(self, key) -> bool:
+        return key in self._vertex_ids
+
+    def vertex_pose(self, key) -> np.ndarray:
+        return self.poses[self._vertex_ids[key]]
+
+    def set_vertex_pose(self, key, pose):
+        self.poses[self._vertex_ids[key]] = np.asarray(pose, self.dtype)
+
+    def set_fixed(self, key, fixed: bool = True):
+        self.fixed[self._vertex_ids[key]] = fixed
+
+    def add_edge(
+        self,
+        key_i,
+        key_j,
+        measurement,
+        information,
+        robust: bool = False,
+        level: int = 0,
+    ) -> int:
+        """Add edge with measurement T_i^{-1} T_j and 6x6 information."""
+        if self._e == len(self.edge_i):
+            old = (
+                self.edge_i,
+                self.edge_j,
+                self.measurements,
+                self.information,
+                self.edge_active,
+                self.robust,
+                self.edge_level,
+            )
+            self._alloc_edges(2 * len(self.edge_i))
+            for new, o in zip(
+                (
+                    self.edge_i,
+                    self.edge_j,
+                    self.measurements,
+                    self.information,
+                    self.edge_active,
+                    self.robust,
+                    self.edge_level,
+                ),
+                old,
+            ):
+                new[: self._e] = o
+        k = self._e
+        self.edge_i[k] = self._vertex_ids[key_i]
+        self.edge_j[k] = self._vertex_ids[key_j]
+        self.measurements[k] = np.asarray(measurement, self.dtype)
+        self.information[k] = np.asarray(information, self.dtype)
+        self.edge_active[k] = True
+        self.robust[k] = robust
+        self.edge_level[k] = level
+        self._e += 1
+        return k
+
+    def rename_vertex(self, old_key, new_key):
+        """Re-key a vertex (the reference's g2o changeId promotion of an
+        odometry vertex to a keyframe vertex, keyframe_graph.cpp:776-780)."""
+        idx = self._vertex_ids.pop(old_key)
+        self._vertex_ids[new_key] = idx
+
+    def set_edge_level(self, edge_index: int, level: int):
+        self.edge_level[edge_index] = level
+
+    def set_all_edge_levels(self, level: int):
+        """Promote every edge into the optimized set (the dense final
+        optimization mode, keyframe_graph.cpp:257-264)."""
+        self.edge_level[: self._e] = level
+
+    def find_edge(self, key_i, key_j):
+        """Index of the first active edge between two vertices (either
+        direction), or None."""
+        a, b = self._vertex_ids[key_i], self._vertex_ids[key_j]
+        for k in range(self._e):
+            if not self.edge_active[k]:
+                continue
+            if (self.edge_i[k] == a and self.edge_j[k] == b) or (
+                self.edge_i[k] == b and self.edge_j[k] == a
+            ):
+                return k
+        return None
+
+    def edge_list(self):
+        """Host iteration over active edges as
+        (key_i, key_j, measurement, information, robust, level)."""
+        rev = {v: k for k, v in self._vertex_ids.items()}
+        out = []
+        for k in range(self._e):
+            if not self.edge_active[k]:
+                continue
+            out.append(
+                (
+                    rev[int(self.edge_i[k])],
+                    rev[int(self.edge_j[k])],
+                    self.measurements[k],
+                    self.information[k],
+                    bool(self.robust[k]),
+                    int(self.edge_level[k]),
+                )
+            )
+        return out
+
+    def vertex_keys(self):
+        return list(self._vertex_ids.keys())
+
+    def deactivate_edges(self, edge_indices):
+        """Mask out edges (the outlier-removal primitive)."""
+        self.edge_active[np.asarray(edge_indices, np.int64)] = False
+
+    def to_arrays(self) -> GraphArrays:
+        cap_v, cap_e = len(self.poses), len(self.edge_i)
+        vmask = np.zeros(cap_v, bool)
+        vmask[: self._n] = True
+        return GraphArrays(
+            poses=jnp.asarray(self.poses),
+            vertex_mask=jnp.asarray(vmask),
+            fixed_mask=jnp.asarray(self.fixed & vmask),
+            edge_i=jnp.asarray(self.edge_i),
+            edge_j=jnp.asarray(self.edge_j),
+            measurements=jnp.asarray(self.measurements),
+            information=jnp.asarray(self.information),
+            edge_mask=jnp.asarray(self.edge_active),
+            robust=jnp.asarray(self.robust),
+        )
+
+    def optimize(
+        self,
+        iterations: int = 50,
+        delta: float = CAUCHY_DELTA,
+        max_level: int = 0,
+    ) -> np.ndarray:
+        """Optimize in place over edges with level <= max_level; returns the
+        chi2 history.  max_level=0 is the sparse keyframe-graph mode,
+        max_level >= 2 the dense mode including odometry edges."""
+        if self._n < 2 or self._e < 1:
+            return np.zeros(0, self.dtype)
+        # gauge: if nothing is fixed, fix the first vertex (g2o requires the
+        # same choice before initializeOptimization)
+        arrays = self.to_arrays()
+        level_mask = self.edge_level[: len(self.edge_i)] <= max_level
+        arrays = arrays._replace(
+            edge_mask=arrays.edge_mask & jnp.asarray(level_mask)
+        )
+        if not self.fixed[: self._n].any():
+            arrays = arrays._replace(
+                fixed_mask=arrays.fixed_mask.at[0].set(True)
+            )
+        out, history = _optimize_jit(arrays, iterations, delta)
+        self.poses[: self._n] = np.asarray(out.poses)[: self._n]
+        return np.asarray(history)
+
+    def edge_diagnostics(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(robust_weight, chi2) per active edge — the EdgeErrorSerializer
+        data (reference: map_serializer.cpp:76-93)."""
+        w, chi2 = edge_robust_weights(self.to_arrays())
+        return np.asarray(w)[: self._e], np.asarray(chi2)[: self._e]
+
+    def remove_outlier_edges(self, weight_threshold: float, n_max: int = -1) -> int:
+        """Deactivate robustified edges whose Cauchy weight falls below the
+        threshold, worst-first (keyframe_graph.cpp:643-674)."""
+        w, _ = self.edge_diagnostics()
+        candidates = [
+            (w[k], k)
+            for k in range(self._e)
+            if self.edge_active[k] and self.robust[k] and w[k] < weight_threshold
+        ]
+        candidates.sort()
+        if n_max >= 0:
+            candidates = candidates[:n_max]
+        if candidates:
+            self.deactivate_edges([k for _, k in candidates])
+        return len(candidates)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _optimize_jit(arrays: GraphArrays, iterations: int, delta: float):
+    return optimize(arrays, iterations, delta)

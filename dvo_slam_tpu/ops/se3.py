@@ -182,6 +182,33 @@ def adjoint(T):
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def ad_se3(xi):
+    """Small adjoint ad(xi) with [v, w] ordering: [[hat(w), hat(v)], [0, hat(w)]].
+
+    Satisfies ad(xi) eta = [w x v' + v x w', w x w'] (the se(3) bracket).
+    """
+    v, w = xi[..., :3], xi[..., 3:]
+    vh = hat_so3(v)
+    wh = hat_so3(w)
+    zeros = jnp.zeros_like(wh)
+    top = jnp.concatenate([wh, vh], axis=-1)
+    bottom = jnp.concatenate([zeros, wh], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def right_jacobian_inverse_approx(r):
+    """Second-order approximation of the inverse right Jacobian of log:
+    Jr^{-1}(r) ~= I + ad(r)/2 + ad(r)^2 / 12.
+
+    Exact enough for pose-graph Gauss-Newton where residuals are small
+    after the first iteration (standard practice; g2o's EdgeSE3 similarly
+    approximates its error Jacobians).
+    """
+    a = ad_se3(r)
+    eye = jnp.eye(6, dtype=r.dtype)
+    return eye + 0.5 * a + (1.0 / 12.0) * (a @ a)
+
+
 def transform_points(T, points):
     """Apply a rigid transform to points of shape [..., 3]."""
     R = T[..., :3, :3]

@@ -1,0 +1,129 @@
+"""Pose-graph optimizer golden tests (the g2o-replacement validation:
+convergence on small graphs with known solutions, SURVEY.md hard part 5)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dvo_slam_tpu.models import pose_graph as pg
+from dvo_slam_tpu.ops import se3
+
+
+def _exp(xi):
+    return np.asarray(se3.exp_se3(jnp.asarray(np.asarray(xi, np.float32))))
+
+
+def _rel(Ta, Tb):
+    return np.linalg.inv(Ta) @ Tb
+
+
+def _pose_err(Ta, Tb):
+    return np.abs(np.asarray(se3.log_se3(jnp.asarray(_rel(Ta, Tb), jnp.float32)))).max()
+
+
+def test_two_vertex_chain():
+    """One free vertex pulled to the measurement."""
+    g = pg.PoseGraph()
+    g.add_vertex(0, np.eye(4), fixed=True)
+    g.add_vertex(1, np.eye(4))  # start at identity, truth is a step ahead
+    T01 = _exp([0.3, -0.1, 0.2, 0.05, -0.02, 0.1])
+    g.add_edge(0, 1, T01, np.eye(6))
+    hist = g.optimize(iterations=10)
+    assert _pose_err(g.vertex_pose(1), T01) < 1e-4
+    assert hist[-1] < 1e-6
+
+
+def test_chain_with_noise_averaging():
+    """A 5-pose chain with a direct 0->4 edge: GN must spread the error."""
+    rng = np.random.default_rng(0)
+    true = [np.eye(4)]
+    for _ in range(4):
+        true.append(true[-1] @ _exp([0.2, 0.0, 0.1, 0.0, 0.05, 0.0]))
+    g = pg.PoseGraph()
+    g.add_vertex(0, np.eye(4), fixed=True)
+    for i in range(1, 5):
+        # bad initialization: identity everywhere
+        g.add_vertex(i, np.eye(4))
+    for i in range(4):
+        g.add_edge(i, i + 1, _rel(true[i], true[i + 1]), np.eye(6))
+    g.add_edge(0, 4, _rel(true[0], true[4]), np.eye(6))
+    g.optimize(iterations=20)
+    for i in range(5):
+        assert _pose_err(g.vertex_pose(i), true[i]) < 1e-3, i
+
+
+def test_loop_closure_corrects_drift():
+    """Odometry chain with accumulated drift + exact loop closure: the loop
+    edge should pull the trajectory back (the SLAM back end's core job)."""
+    n = 8
+    step = [0.5, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / n]
+    true = [np.eye(4)]
+    for _ in range(n):
+        true.append(true[-1] @ _exp(step))
+    rng = np.random.default_rng(1)
+    g = pg.PoseGraph()
+    # initialize with drifty odometry
+    pose = np.eye(4)
+    g.add_vertex(0, pose, fixed=True)
+    for i in range(n):
+        noise = _exp(rng.normal(0, 0.02, 6))
+        meas = _rel(true[i], true[i + 1]) @ noise
+        pose = pose @ meas
+        g.add_vertex(i + 1, pose)
+        g.add_edge(i, i + 1, meas, np.eye(6))
+    drift_before = _pose_err(g.vertex_pose(n), true[n])
+    # exact loop-closure measurement 0 -> n
+    g.add_edge(0, n, _rel(true[0], true[n]), 100.0 * np.eye(6), robust=True)
+    g.optimize(iterations=30)
+    drift_after = _pose_err(g.vertex_pose(n), true[n])
+    assert drift_after < 1e-3
+    assert drift_after < drift_before * 0.1
+
+
+def test_robust_kernel_downweights_bad_edge():
+    """A wildly wrong loop edge with a Cauchy kernel must not destroy the
+    solution, and its robust weight must flag it for pruning."""
+    n = 6
+    true = [np.eye(4)]
+    for _ in range(n):
+        true.append(true[-1] @ _exp([0.3, 0.0, 0.0, 0.0, 0.0, 0.1]))
+    g = pg.PoseGraph()
+    g.add_vertex(0, np.eye(4), fixed=True)
+    for i in range(n):
+        g.add_vertex(i + 1, true[i + 1])  # good init
+        g.add_edge(i, i + 1, _rel(true[i], true[i + 1]), 1e4 * np.eye(6))
+    bogus = g.add_edge(0, n, _exp([5.0, 3.0, -2.0, 0.5, 0.5, 0.5]), 1e4 * np.eye(6), robust=True)
+    g.optimize(iterations=15)
+    for i in range(n + 1):
+        assert _pose_err(g.vertex_pose(i), true[i]) < 0.05, i
+    w, chi2 = g.edge_diagnostics()
+    assert w[bogus] < 0.01  # flagged as outlier
+    assert w[:n].min() > 0.9  # odometry edges unrobustified -> weight 1
+    removed = g.remove_outlier_edges(0.1)
+    assert removed == 1
+    assert not g.edge_active[bogus]
+
+
+def test_capacity_growth_preserves_graph():
+    g = pg.PoseGraph(vertex_capacity=2, edge_capacity=2)
+    true = [np.eye(4)]
+    for i in range(9):
+        true.append(true[-1] @ _exp([0.1, 0.0, 0.0, 0.0, 0.0, 0.05]))
+    g.add_vertex(0, np.eye(4), fixed=True)
+    for i in range(9):
+        g.add_vertex(i + 1, np.eye(4))
+        g.add_edge(i, i + 1, _rel(true[i], true[i + 1]), np.eye(6))
+    g.optimize(iterations=25)
+    for i in range(10):
+        assert _pose_err(g.vertex_pose(i), true[i]) < 1e-3, i
+
+
+def test_gauge_auto_fix():
+    """With no fixed vertex, the optimizer should fix the first one."""
+    g = pg.PoseGraph()
+    g.add_vertex("a", np.eye(4))
+    g.add_vertex("b", np.eye(4))
+    T = _exp([0.1, 0.2, 0.0, 0.0, 0.0, 0.1])
+    g.add_edge("a", "b", T, np.eye(6))
+    g.optimize(iterations=10)
+    assert _pose_err(g.vertex_pose("a"), np.eye(4)) < 1e-5
+    assert _pose_err(g.vertex_pose("b"), T) < 1e-4
