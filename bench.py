@@ -1,0 +1,116 @@
+"""Benchmark driver: tracked frames/s/chip for the flagship dense tracker.
+
+Runs frame-to-frame dense odometry at the TUM benchmark operating point
+(640x480 RGB-D, 4-level pyramid solved 3->1, t-distribution IRLS,
+mu=0.05 prior — reference: dvo_benchmark/launch/benchmark.yaml) and prints
+ONE JSON line.
+
+The tracking loop is expressed TPU-natively as one ``lax.scan`` over the
+frame sequence: raw camera-format frames (u8 intensity + u16 depth, as a
+real ingest pipeline delivers them) are uploaded once, pyramids are built
+and matched entirely on device, and the trajectory comes back in a single
+download — no host round-trip per frame.
+
+Baseline: the reference runs at ~camera rate (30 Hz) on a desktop CPU
+(Kerl et al. ICRA'13; BASELINE.md) — vs_baseline is fps / 30.
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # persistent executable cache: the scanned tracker is a large program
+    # and the sandbox compiles through a remote tunnel — cache so repeat
+    # runs (and the driver's bench invocation) skip the multi-minute compile
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    import jax.numpy as jnp
+
+    from dvo_slam_tpu.config import benchmark_config
+    from dvo_slam_tpu.models.dense_tracker import match_pyramids
+    from dvo_slam_tpu.ops.camera import TUM_FR1
+    from dvo_slam_tpu.ops.pyramid import build_pyramid, convert_raw_depth
+    from dvo_slam_tpu.utils import synthetic, trajectory
+
+    cfg = benchmark_config().tracker
+    shape = (480, 640)
+    num_frames = 40
+
+    poses = synthetic.circular_trajectory(num_frames, radius=0.05, rot_amplitude=0.02)
+
+    # camera-native formats, as a real RGB-D ingest delivers them
+    intensity_u8 = np.zeros((num_frames,) + shape, np.uint8)
+    depth_u16 = np.zeros((num_frames,) + shape, np.uint16)
+    for i in range(num_frames):
+        intensity, depth, valid = synthetic.render_frame(
+            poses[i], TUM_FR1, shape, seed=i, depth_noise=0.002, intensity_noise=1.0
+        )
+        intensity_u8[i] = np.clip(intensity, 0, 255).astype(np.uint8)
+        depth_u16[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
+
+    def build(int_u8, dep_u16):
+        depth, valid = convert_raw_depth(dep_u16)
+        return build_pyramid(int_u8.astype(jnp.float32), depth, valid, cfg.num_levels)
+
+    @jax.jit
+    def track_sequence(intensity_u8, depth_u16):
+        """Whole-sequence frame-to-frame odometry as one device program."""
+        first = build(intensity_u8[0], depth_u16[0])
+
+        def step(carry, frame):
+            prev_pyr, pose = carry
+            cur_pyr = build(frame[0], frame[1])
+            r = match_pyramids(
+                cfg, TUM_FR1, prev_pyr, cur_pyr, jnp.eye(4, dtype=jnp.float32)
+            )
+            pose = pose @ r.transformation
+            return (cur_pyr, pose), pose
+
+        (_, _), trajectory_out = jax.lax.scan(
+            step,
+            (first, jnp.eye(4, dtype=jnp.float32)),
+            (intensity_u8[1:], depth_u16[1:]),
+        )
+        return trajectory_out
+
+    d_int = jnp.asarray(intensity_u8)
+    d_dep = jnp.asarray(depth_u16)
+    jax.block_until_ready((d_int, d_dep))
+
+    # warmup / compile
+    out = track_sequence(d_int, d_dep)
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = track_sequence(d_int, d_dep)
+        jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - t0) / reps
+    fps = (num_frames - 1) / elapsed
+
+    # accuracy sanity (guards against a fast-but-wrong tracker)
+    est = np.concatenate([np.eye(4)[None], np.asarray(out, np.float64)])
+    stamps = np.arange(num_frames) / 30.0
+    ate = trajectory.ate_rmse(stamps, est, stamps, poses)
+
+    result = {
+        "metric": "tracked_frames_per_second_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 2),
+        "ate_rmse_m": round(float(ate), 5),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

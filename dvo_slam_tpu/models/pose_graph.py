@@ -79,10 +79,10 @@ def _edge_jacobians(r, B):
     return -jnp.einsum("eab,ebc->eac", jr_inv, adj_b_inv), jr_inv
 
 
-def _assemble_dense(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j, free):
-    """Scatter per-edge blocks into the dense [6N, 6N] normal equations,
-    applying the gauge: fixed vertices get zeroed rows/cols and an identity
-    diagonal so the solve stays non-singular."""
+def assemble_blocks(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j):
+    """Scatter per-edge blocks into raw dense normal equations
+    ([N, N, 6, 6], [N, 6]) — no gauge yet, so shard-local systems can be
+    psum-reduced before gauging."""
     H = jnp.zeros((n, n, 6, 6), H_ii.dtype)
     H = H.at[ei, ei].add(H_ii)
     H = H.at[ei, ej].add(H_ij)
@@ -91,7 +91,13 @@ def _assemble_dense(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j, free):
     b = jnp.zeros((n, 6), b_i.dtype)
     b = b.at[ei].add(b_i)
     b = b.at[ej].add(b_j)
+    return H, b
 
+
+def apply_gauge(H, b, free):
+    """Zero rows/cols of fixed vertices, identity on their diagonal, plus
+    small Levenberg damping; flatten to ([6N, 6N], [6N])."""
+    n = H.shape[0]
     freef = free.astype(H.dtype)
     H = H * freef[:, None, None, None] * freef[None, :, None, None]
     eye = jnp.eye(6, dtype=H.dtype)
@@ -101,9 +107,12 @@ def _assemble_dense(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j, free):
     # subgraphs (g2o's Dogleg serves the same robustness role)
     H = H.at[jnp.arange(n), jnp.arange(n)].add(1e-6 * eye)
     b = b * freef[:, None]
+    return H.transpose(0, 2, 1, 3).reshape(n * 6, n * 6), b.reshape(n * 6)
 
-    H_flat = H.transpose(0, 2, 1, 3).reshape(n * 6, n * 6)
-    return H_flat, b.reshape(n * 6)
+
+def _assemble_dense(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j, free):
+    H, b = assemble_blocks(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j)
+    return apply_gauge(H, b, free)
 
 
 def _solve_scaled(H, b):
@@ -117,8 +126,14 @@ def _solve_scaled(H, b):
     return y * d_inv
 
 
-def gauss_newton_iteration(graph: GraphArrays, delta: float = CAUCHY_DELTA):
-    """One robust Gauss-Newton iteration; returns (new_graph, total_chi2)."""
+def edge_blocks(graph: GraphArrays, delta: float = CAUCHY_DELTA):
+    """Per-edge 6x6 Hessian blocks and 6-vector gradient blocks.
+
+    The unit of work for both the single-device solver and the
+    edge-sharded distributed BA (each shard computes its blocks locally,
+    then the assembled systems psum over ICI — P6 in SURVEY.md 2.5).
+    Returns (H_ii, H_ij, H_jj, b_i, b_j, chi2) over [E, ...].
+    """
     r, B, chi2 = edge_residuals(graph)
     w = cauchy_weights(chi2, graph.robust, delta) * graph.edge_mask
     W = w[:, None, None] * graph.information  # [E, 6, 6]
@@ -132,16 +147,27 @@ def gauss_newton_iteration(graph: GraphArrays, delta: float = CAUCHY_DELTA):
     Wr = jnp.einsum("eab,eb->ea", W, r)
     b_i = jnp.einsum("eba,eb->ea", J_i, Wr)
     b_j = jnp.einsum("eba,eb->ea", J_j, Wr)
+    return H_ii, H_ij, H_jj, b_i, b_j, chi2
 
+
+def apply_pose_update(graph: GraphArrays, H, b):
+    """Solve the assembled system and right-update the free poses."""
+    n = graph.poses.shape[0]
+    free = graph.vertex_mask & ~graph.fixed_mask
+    delta_x = _solve_scaled(H, -b).reshape(n, 6)
+    delta_x = jnp.where(free[:, None], delta_x, 0.0)
+    return graph._replace(poses=graph.poses @ se3.exp_se3(delta_x))
+
+
+def gauss_newton_iteration(graph: GraphArrays, delta: float = CAUCHY_DELTA):
+    """One robust Gauss-Newton iteration; returns (new_graph, total_chi2)."""
+    H_ii, H_ij, H_jj, b_i, b_j, chi2 = edge_blocks(graph, delta)
     n = graph.poses.shape[0]
     free = graph.vertex_mask & ~graph.fixed_mask
     H, b = _assemble_dense(n, graph.edge_i, graph.edge_j, H_ii, H_ij, H_jj, b_i, b_j, free)
-
-    delta_x = _solve_scaled(H, -b).reshape(n, 6)
-    delta_x = jnp.where(free[:, None], delta_x, 0.0)
-    new_poses = graph.poses @ se3.exp_se3(delta_x)
+    new_graph = apply_pose_update(graph, H, b)
     total = jnp.sum(jnp.where(graph.edge_mask, chi2, 0.0))
-    return graph._replace(poses=new_poses), total
+    return new_graph, total
 
 
 def optimize(graph: GraphArrays, iterations: int, delta: float = CAUCHY_DELTA):

@@ -107,8 +107,14 @@ def downsample_intensity(img):
 
 def downsample_depth(depth, valid):
     """Subsample every second pixel (pyrDownSubsample, rgbd_image.cpp:127-139
-    — chosen for depth at rgbd_image.cpp:167-169 to avoid mixing surfaces)."""
-    return depth[::2, ::2], valid[::2, ::2]
+    — chosen for depth at rgbd_image.cpp:167-169 to avoid mixing surfaces).
+    Output is floor(h/2) x floor(w/2), matching the mean downsampler on
+    odd-sized levels."""
+    h, w = depth.shape
+    return (
+        depth[: h - h % 2 : 2, : w - w % 2 : 2],
+        valid[: h - h % 2 : 2, : w - w % 2 : 2],
+    )
 
 
 def make_level(intensity, depth, valid) -> PyramidLevel:

@@ -1,0 +1,98 @@
+"""Distributed pose-graph bundle adjustment over a device mesh.
+
+The per-edge 6x6 Hessian blocks are the natural unit of distribution
+(SURVEY.md 2.5, P6: the reference's NormalEquationsLeastSquares::combine
+partial-sum merge becomes a psum).  Edges are sharded across the mesh;
+each device computes its blocks and assembles a shard-local dense system;
+one ``psum`` over ICI reduces the [N, N, 6, 6] normal equations; the 6N
+Cholesky solve and pose update run replicated (N keyframes is small
+relative to chip FLOPs — replication is cheaper than a distributed solve
+until N is in the tens of thousands).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import pose_graph as pg
+from ..ops import se3
+
+try:  # JAX >= 0.7 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def distributed_gauss_newton(
+    graph: pg.GraphArrays,
+    mesh: Mesh,
+    iterations: int = 10,
+    delta: float = pg.CAUCHY_DELTA,
+    axis: str = "batch",
+):
+    """Run GN iterations with edge-sharded block computation + psum.
+
+    The padded edge capacity must be divisible by the mesh size (PoseGraph
+    capacities are powers of two, so any power-of-two mesh works).
+    Returns (graph, chi2_history).
+    """
+    n_dev = mesh.shape[axis]
+    e = graph.edge_i.shape[0]
+    if e % n_dev != 0:
+        raise ValueError(f"edge capacity {e} not divisible by mesh size {n_dev}")
+
+    edge_leaves = ("edge_i", "edge_j", "measurements", "information", "edge_mask", "robust")
+    in_specs = pg.GraphArrays(
+        poses=P(),
+        vertex_mask=P(),
+        fixed_mask=P(),
+        edge_i=P(axis),
+        edge_j=P(axis),
+        measurements=P(axis),
+        information=P(axis),
+        edge_mask=P(axis),
+        robust=P(axis),
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(in_specs,),
+        out_specs=(P(), P()),
+    )
+    def run(g: pg.GraphArrays):
+        n = g.poses.shape[0]
+        free = g.vertex_mask & ~g.fixed_mask
+
+        def body(carry, _):
+            poses = carry
+            local = g._replace(poses=poses)
+            H_ii, H_ij, H_jj, b_i, b_j, chi2 = pg.edge_blocks(local, delta)
+            H_loc, b_loc = pg.assemble_blocks(
+                n, g.edge_i, g.edge_j, H_ii, H_ij, H_jj, b_i, b_j
+            )
+            # the ICI collective: reduce shard-local normal equations
+            H = jax.lax.psum(H_loc, axis)
+            b = jax.lax.psum(b_loc, axis)
+            chi2_total = jax.lax.psum(
+                jnp.sum(jnp.where(g.edge_mask, chi2, 0.0)), axis
+            )
+            H_flat, b_flat = pg.apply_gauge(H, b, free)
+            delta_x = pg._solve_scaled(H_flat, -b_flat).reshape(n, 6)
+            delta_x = jnp.where(free[:, None], delta_x, 0.0)
+            return poses @ se3.exp_se3(delta_x), chi2_total
+
+        poses, history = jax.lax.scan(body, g.poses, None, length=iterations)
+        return poses, history
+
+    poses, history = run(graph)
+    return graph._replace(poses=poses), history
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def distributed_gauss_newton_jit(graph, mesh, iterations, delta=pg.CAUCHY_DELTA):
+    return distributed_gauss_newton(graph, mesh, iterations, delta)

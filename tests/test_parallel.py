@@ -1,0 +1,111 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dvo_slam_tpu.config import TrackerConfig
+from dvo_slam_tpu.models import pose_graph as pg
+from dvo_slam_tpu.models.frames import Frame, stack_frames
+from dvo_slam_tpu.ops import se3
+from dvo_slam_tpu.ops.camera import Intrinsics
+from dvo_slam_tpu.parallel import distributed_ba, mesh as mesh_lib
+from dvo_slam_tpu.parallel.sharded_alignment import make_pair_parallel_matcher
+from dvo_slam_tpu.utils import synthetic
+
+K = Intrinsics(80.0, 80.0, 39.5, 29.5)
+SHAPE = (60, 80)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def _exp(xi):
+    return np.asarray(se3.exp_se3(jnp.asarray(np.asarray(xi, np.float32))))
+
+
+def _chain_graph(n=12, seed=0):
+    """Noisy odometry chain + exact loop edge, as a PoseGraph."""
+    rng = np.random.default_rng(seed)
+    true = [np.eye(4)]
+    for _ in range(n):
+        true.append(true[-1] @ _exp([0.3, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / n]))
+    g = pg.PoseGraph(vertex_capacity=16, edge_capacity=16)
+    pose = np.eye(4)
+    g.add_vertex(0, pose, fixed=True)
+    for i in range(n):
+        noise = _exp(rng.normal(0, 0.01, 6))
+        meas = np.linalg.inv(true[i]) @ true[i + 1] @ noise
+        pose = pose @ meas
+        g.add_vertex(i + 1, pose)
+        g.add_edge(i, i + 1, meas, np.eye(6))
+    g.add_edge(0, n, np.linalg.inv(true[0]) @ true[n], 100 * np.eye(6), robust=True)
+    return g, np.asarray(true)
+
+
+def test_distributed_ba_matches_single_device():
+    """Edge-sharded GN with psum must agree with the single-device solver."""
+    g1, true = _chain_graph()
+    g2, _ = _chain_graph()
+
+    arrays = g1.to_arrays()._replace()
+    # single-device reference
+    single, hist_single = pg.optimize(arrays, iterations=10)
+
+    m = mesh_lib.make_mesh(8)
+    dist, hist_dist = distributed_ba.distributed_gauss_newton(
+        g2.to_arrays(), m, iterations=10
+    )
+    np.testing.assert_allclose(
+        np.asarray(hist_dist), np.asarray(hist_single), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.poses), np.asarray(single.poses), atol=1e-4
+    )
+    # and it actually solved the problem
+    n = g1.num_vertices - 1
+    err = np.linalg.norm(np.asarray(dist.poses)[n][:3, 3] - true[n][:3, 3])
+    assert err < 0.01
+
+
+def test_pair_parallel_matcher():
+    """8 frame pairs sharded over 8 devices, results match ground truth."""
+    cfg = TrackerConfig(first_level=1, last_level=0, max_iterations_per_level=20)
+    twists = [
+        [0.01 * (i % 3 - 1), 0.005 * (i % 2), 0.0, 0.0, 0.0, 0.004 * (i % 2)]
+        for i in range(8)
+    ]
+    refs, curs, gts = [], [], []
+    for i, tw in enumerate(twists):
+        T = _exp(tw)
+        i0, d0, v0 = synthetic.render_frame(np.eye(4), K, SHAPE, seed=i)
+        i1, d1, v1 = synthetic.render_frame(T, K, SHAPE, seed=i)
+        refs.append(Frame.from_arrays(i0, d0, v0, 0.0, cfg.num_levels))
+        curs.append(Frame.from_arrays(i1, d1, v1, 0.1, cfg.num_levels))
+        gts.append(T)
+
+    m = mesh_lib.make_mesh(8)
+    run = make_pair_parallel_matcher(cfg, K, m)
+    ref_b = stack_frames(refs)
+    cur_b = stack_frames(curs)
+    inits = jnp.stack([jnp.eye(4, dtype=jnp.float32)] * 8)
+    results = run(ref_b, cur_b, inits)
+    assert results.transformation.shape == (8, 4, 4)
+    for i, gt in enumerate(gts):
+        est = np.asarray(results.transformation[i], np.float64)
+        err = np.abs(np.asarray(se3.log_se3(jnp.asarray(
+            np.linalg.inv(gt) @ est, jnp.float32))))
+        assert err.max() < 5e-3, f"pair {i}: {err}"
+
+
+def test_distributed_ba_rejects_bad_shard_count():
+    g, _ = _chain_graph()
+    m = mesh_lib.make_mesh(3)
+    arrays = g.to_arrays()
+    try:
+        distributed_ba.distributed_gauss_newton(arrays, m, iterations=1)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
