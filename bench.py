@@ -61,38 +61,50 @@ def main():
 
     @jax.jit
     def track_sequence(intensity_u8, depth_u16):
-        """Whole-sequence frame-to-frame odometry as one device program."""
+        """Whole-sequence frame-to-frame odometry as one device program.
+
+        Warm-starts every solve from the previous relative pose (constant
+        velocity), as the reference's online tracker does with
+        UseInitialEstimate (camera_dense_tracking.cpp / benchmark.yaml).
+        """
         first = build(intensity_u8[0], depth_u16[0])
+        eye = jnp.eye(4, dtype=jnp.float32)
 
         def step(carry, frame):
-            prev_pyr, pose = carry
+            prev_pyr, pose, rel_prev = carry
             cur_pyr = build(frame[0], frame[1])
-            r = match_pyramids(
-                cfg, TUM_FR1, prev_pyr, cur_pyr, jnp.eye(4, dtype=jnp.float32)
-            )
+            r = match_pyramids(cfg, TUM_FR1, prev_pyr, cur_pyr, rel_prev)
             pose = pose @ r.transformation
-            return (cur_pyr, pose), pose
+            return (cur_pyr, pose, r.transformation), pose
 
-        (_, _), trajectory_out = jax.lax.scan(
+        (_, _, _), trajectory_out = jax.lax.scan(
             step,
-            (first, jnp.eye(4, dtype=jnp.float32)),
+            (first, eye, eye),
             (intensity_u8[1:], depth_u16[1:]),
         )
         return trajectory_out
 
     d_int = jnp.asarray(intensity_u8)
     d_dep = jnp.asarray(depth_u16)
-    jax.block_until_ready((d_int, d_dep))
+    np.asarray(d_int[0, 0, 0])  # force the upload (block_until_ready does
+    # not actually synchronize through the sandbox's TPU relay)
 
-    # warmup / compile
+    # warmup: compile AND execute once for real (first post-compile
+    # execution is slow while the relay streams the executable)
     out = track_sequence(d_int, d_dep)
-    jax.block_until_ready(out)
+    np.asarray(out)
 
+    # distinct input buffers per rep: the relay memoizes identical
+    # (executable, inputs) executions, which would fake the timing; and a
+    # result download is the only true sync point
     reps = 3
+    variants = [d_int.at[:, 0, k].add(np.uint8(k + 1)) for k in range(reps)]
+    for v in variants:
+        np.asarray(v[0, 0, 0])
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = track_sequence(d_int, d_dep)
-        jax.block_until_ready(out)
+    for vi in variants:
+        out = track_sequence(vi, d_dep)
+        np.asarray(out)
     elapsed = (time.perf_counter() - t0) / reps
     fps = (num_frames - 1) / elapsed
 

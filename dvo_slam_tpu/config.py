@@ -58,6 +58,10 @@ class TrackerConfig:
     scale_estimator_param: float = 5.0
     intensity_derivative_threshold: float = 0.0
     depth_derivative_threshold: float = 0.0
+    # Inner-loop kernel backend: "auto" picks the fused Pallas kernel on
+    # TPU and the fused XLA twin elsewhere; "xla" is the unfused reference
+    # oracle path; "fused"/"pallas" force a specific implementation.
+    kernel_backend: str = "auto"
 
     @property
     def num_levels(self) -> int:

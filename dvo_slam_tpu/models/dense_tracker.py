@@ -31,15 +31,20 @@ import jax
 import jax.numpy as jnp
 
 from ..config import InfluenceFunction, ScaleEstimator, TrackerConfig
-from ..ops import robust, se3
-from ..ops.camera import Intrinsics
+from ..ops import pallas_kernels, robust, se3
+from ..ops.camera import Intrinsics, unproject
 from ..ops.pyramid import (
     PyramidLevel,
     build_acceleration,
     build_pyramid,
     selection_mask,
 )
-from ..ops.residuals import ResidualData, compute_residuals, normal_equations
+from ..ops.residuals import (
+    ResidualData,
+    compute_residuals,
+    normal_equations,
+    warp_and_sample,
+)
 
 _DEBUG = False  # set True to trace per-iteration solver state
 
@@ -166,6 +171,52 @@ def _scale_for(cfg: TrackerConfig, residuals, weights, n, prev_precision):
     raise ValueError(f"unknown scale estimator {cfg.scale_estimator}")
 
 
+def _resolve_backend(cfg: TrackerConfig) -> str:
+    """Pick the inner-loop implementation (static decision at trace time).
+
+    The fused kernels hard-code the production t-distribution statistics;
+    any other influence/scale configuration falls back to the modular XLA
+    oracle path.
+    """
+    backend = cfg.kernel_backend
+    tdist = (
+        cfg.use_weighting
+        and cfg.influence_function is InfluenceFunction.TDISTRIBUTION
+        and cfg.scale_estimator is ScaleEstimator.TDISTRIBUTION
+    )
+    if backend == "auto":
+        if not tdist:
+            return "xla"
+        return "pallas" if jax.default_backend() != "cpu" else "fused"
+    if backend in ("fused", "pallas") and not tdist:
+        raise ValueError(
+            f"kernel_backend={backend!r} requires t-distribution weighting"
+        )
+    return backend
+
+
+def _build_refpack(ref_level: PyramidLevel, sel_mask, intrinsics: Intrinsics):
+    """Reference-side channel pack [N, 8] for the fused kernels:
+    (intensity, depth, idx, idy, x, y, selected, 0)."""
+    h, w = ref_level.intensity.shape
+    n = h * w
+    points = unproject(ref_level.depth, intrinsics).reshape(n, 3)
+    zeros = jnp.zeros(n, ref_level.intensity.dtype)
+    return jnp.stack(
+        [
+            ref_level.intensity.reshape(n),
+            ref_level.depth.reshape(n),
+            ref_level.idx.reshape(n),
+            ref_level.idy.reshape(n),
+            points[:, 0],
+            points[:, 1],
+            sel_mask.reshape(n).astype(ref_level.intensity.dtype),
+            zeros,
+        ],
+        axis=-1,
+    )
+
+
 def _match_level(
     cfg: TrackerConfig,
     intrinsics: Intrinsics,
@@ -179,9 +230,17 @@ def _match_level(
 ):
     """Run the IRLS Gauss-Newton iteration on one pyramid level."""
     dtype = ref_level.intensity.dtype
+    backend = _resolve_backend(cfg)
+    dof = cfg.influence_function_param
+    refpack = (
+        _build_refpack(ref_level, sel_mask, intrinsics)
+        if backend in ("fused", "pallas")
+        else None
+    )
 
-    def residual_fn(T):
-        return compute_residuals(
+    def evaluate_xla(T, P_prev, first):
+        """Modular oracle path (one op per reference kernel)."""
+        rd: ResidualData = compute_residuals(
             ref_level.intensity,
             ref_level.depth,
             ref_level.idx,
@@ -191,28 +250,51 @@ def _match_level(
             intrinsics,
             T,
         )
+        n = rd.num_valid
+        w_lagged = _weights_for(cfg, rd.residuals, P_prev, rd.mask)
+        weights = jnp.where(first, rd.mask.astype(dtype), w_lagged)
+        precision_new = _scale_for(cfg, rd.residuals, weights, n, P_prev)
+        ll = robust.tdist_log_likelihood(rd.residuals, precision_new, rd.mask, dof)
+        A, b = normal_equations(rd, weights, precision_new)
+        return n, precision_new, ll, A, b
+
+    def evaluate_fused(T, P_prev, first):
+        """Single-pass fused path (Pallas on TPU, XLA twin elsewhere)."""
+        sampled, z_t, _ = warp_and_sample(ref_level.depth, cur_accel, intrinsics, T)
+        sampled = sampled.at[:, 7].set(z_t)
+        p3 = jnp.stack([P_prev[0, 0], P_prev[0, 1], P_prev[1, 1]])
+        fn = (
+            pallas_kernels.fused_partials_pallas
+            if backend == "pallas"
+            else pallas_kernels.fused_partials_xla
+        )
+        parts = fn(sampled, refpack, p3, first.astype(jnp.int32), intrinsics, dof)
+        n = parts.num_valid.astype(jnp.int32)
+        denom = jnp.maximum(parts.num_valid - 3.0, 1.0)
+        precision_new = robust.precision_from_scale(
+            pallas_kernels.scale_matrix(parts) / denom
+        )
+        ll = robust.tdist_log_likelihood(
+            parts.residuals, precision_new, parts.weights > 0, dof
+        )
+        A, b = pallas_kernels.assemble_normal_equations(parts, precision_new)
+        return n, precision_new, ll, A, b
+
+    evaluate = evaluate_xla if backend == "xla" else evaluate_fused
 
     def body(c: _Carry) -> _Carry:
         inc = se3.exp_se3(c.x)
         T_new = inc @ c.T
         initial_new = se3.inverse(inc) @ c.initial
 
-        rd: ResidualData = residual_fn(T_new)
-        n = rd.num_valid
-        too_few = n < 6
-
         first = c.iteration == 0
-        w_lagged = _weights_for(cfg, rd.residuals, c.precision, rd.mask)
-        weights = jnp.where(first, rd.mask.astype(dtype), w_lagged)
-
-        precision_new = _scale_for(cfg, rd.residuals, weights, n, c.precision)
-        ll = robust.tdist_log_likelihood(rd.residuals, precision_new, rd.mask)
+        n, precision_new, ll, A, b = evaluate(T_new, c.precision, first)
+        too_few = n < 6
         error = -ll
 
         accept = error < c.error
         reject = too_few | ~accept
 
-        A, b = normal_equations(rd, weights, precision_new)
         if cfg.use_estimate_smoothing:
             # Prior toward the initial guess (dense_tracking.cpp:345-346).
             A = A + cfg.mu * jnp.eye(6, dtype=dtype)

@@ -88,6 +88,37 @@ def transform_z_jacobian(p):
     return jnp.stack([zeros, zeros, ones, y, -x, zeros], axis=-1)
 
 
+def warp_and_sample(
+    ref_depth,  # [H, W]
+    cur_accel,  # [H, W, 8]
+    intrinsics: Intrinsics,
+    T,  # [4, 4]
+):
+    """Warp reference points into the current frame and bilinearly sample
+    the acceleration tensor — the gather half of the residual kernel.
+
+    Feeds the fused Pallas partials kernel (ops/pallas_kernels.py), which
+    cannot gather on TPU; XLA performs the irregular access, the kernel
+    fuses all the regular math.  Returns ``(sampled [N, 8], z_t [N],
+    points [N, 3])`` where sampled channel 6 is the combined
+    bounds+neighbor validity and channel 7 is unused.
+    """
+    h, w = ref_depth.shape
+    n = h * w
+    points = unproject(ref_depth, intrinsics).reshape(n, 3)
+    R = T[:3, :3].astype(ref_depth.dtype)
+    t = T[:3, 3].astype(ref_depth.dtype)
+    p_t = points @ R.T + t
+    z_t = p_t[:, 2]
+    z_safe = jnp.where(z_t > 1e-12, z_t, 1e-12)
+    u = p_t[:, 0] / z_safe * intrinsics.fx + intrinsics.ox
+    v = p_t[:, 1] / z_safe * intrinsics.fy + intrinsics.oy
+    sampled, sample_valid = bilinear_sample_accel(cur_accel, u, v)
+    validity = sample_valid & (z_t > 1e-12)
+    sampled = sampled.at[:, 6].set(validity.astype(sampled.dtype))
+    return sampled, z_t, points
+
+
 def compute_residuals(
     ref_intensity,  # [H, W]
     ref_depth,  # [H, W]

@@ -46,7 +46,16 @@ def intrinsics_for_sequence(name: str) -> Intrinsics:
 def load_tum_image_pair(
     rgb_path: str, depth_path: str, depth_scale: float = 5000.0
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Load one RGB + depth PNG pair in the reference's conventions."""
+    """Load one RGB + depth PNG pair in the reference's conventions.
+
+    Prefers the native C++ decoder (dvo_slam_tpu.native — the analog of
+    the reference's OpenCV C++ loading path); falls back to cv2.
+    """
+    from .. import native
+
+    if native.native_available():
+        return native.load_rgbd_native(rgb_path, depth_path, depth_scale)
+
     import cv2
 
     bgr = cv2.imread(rgb_path, cv2.IMREAD_COLOR)
