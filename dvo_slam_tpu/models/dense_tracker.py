@@ -258,9 +258,18 @@ def _match_level(
         A, b = normal_equations(rd, weights, precision_new)
         return n, precision_new, ll, A, b
 
+    if backend in ("fused", "pallas"):
+        from ..ops.interp import build_quad_table
+
+        quad = build_quad_table(cur_accel)  # loop-invariant, built per level
+    else:
+        quad = None
+
     def evaluate_fused(T, P_prev, first):
         """Single-pass fused path (Pallas on TPU, XLA twin elsewhere)."""
-        sampled, z_t, _ = warp_and_sample(ref_level.depth, cur_accel, intrinsics, T)
+        sampled, z_t, _ = warp_and_sample(
+            ref_level.depth, cur_accel, intrinsics, T, quad=quad
+        )
         sampled = sampled.at[:, 7].set(z_t)
         p3 = jnp.stack([P_prev[0, 0], P_prev[0, 1], P_prev[1, 1]])
         fn = (

@@ -61,6 +61,59 @@ def bilinear_sample_accel(accel, u, v):
     return values, in_bounds & neighbors_valid
 
 
+def build_quad_table(accel):
+    """[H, W, 8] acceleration tensor -> [H*W, 32] quad table where row i
+    packs the 8 channels of pixels (i, i+1, i+W, i+W+1).
+
+    One gathered row carries a pixel's whole 2x2 bilinear support, so the
+    warp needs ONE gather instead of four — the TPU analog of the
+    reference's aligned two-pixel SSE loads (dense_tracking_impl.cpp:84-90).
+    Rows near the right/bottom borders wrap into the next image row; those
+    lanes are never used because the bounds test already excludes them.
+    """
+    h, w, c = accel.shape
+    flat = accel.reshape(h * w, c)
+    right = jnp.roll(flat, -1, axis=0)
+    down = jnp.roll(flat, -w, axis=0)
+    down_right = jnp.roll(flat, -(w + 1), axis=0)
+    return jnp.concatenate([flat, right, down, down_right], axis=1)
+
+
+def bilinear_sample_quad(quad, shape, u, v):
+    """Bilinear sampling through the quad table (one gather per pixel).
+
+    ``shape`` is the source image (H, W); semantics identical to
+    :func:`bilinear_sample_accel`.
+    """
+    h, w = shape
+    in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
+
+    u = jnp.clip(u, 0.0, w - 1.001)
+    v = jnp.clip(v, 0.0, h - 1.001)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    x1w = u - x0
+    y1w = v - y0
+    x0w = 1.0 - x1w
+    y0w = 1.0 - y1w
+
+    idx = y0.astype(jnp.int32) * w + x0.astype(jnp.int32)
+    rows = quad[jnp.clip(idx, 0, quad.shape[0] - 1)]  # [N, 32]
+    a00, a10, a01, a11 = rows[:, :8], rows[:, 8:16], rows[:, 16:24], rows[:, 24:32]
+
+    values = (a00 * x0w[:, None] + a10 * x1w[:, None]) * y0w[:, None] + (
+        a01 * x0w[:, None] + a11 * x1w[:, None]
+    ) * y1w[:, None]
+
+    neighbors_valid = (
+        (a00[:, VALID_CHANNEL] > 0.5)
+        & (a10[:, VALID_CHANNEL] > 0.5)
+        & (a01[:, VALID_CHANNEL] > 0.5)
+        & (a11[:, VALID_CHANNEL] > 0.5)
+    )
+    return values, in_bounds & neighbors_valid
+
+
 def bilinear_sample_image(img, u, v):
     """Plain bilinear sampling of a single-channel [H, W] image at (u, v).
 

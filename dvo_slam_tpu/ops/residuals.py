@@ -93,16 +93,21 @@ def warp_and_sample(
     cur_accel,  # [H, W, 8]
     intrinsics: Intrinsics,
     T,  # [4, 4]
+    quad=None,  # optional [H*W, 32] quad table (interp.build_quad_table)
 ):
     """Warp reference points into the current frame and bilinearly sample
     the acceleration tensor — the gather half of the residual kernel.
 
     Feeds the fused Pallas partials kernel (ops/pallas_kernels.py), which
     cannot gather on TPU; XLA performs the irregular access, the kernel
-    fuses all the regular math.  Returns ``(sampled [N, 8], z_t [N],
+    fuses all the regular math.  When ``quad`` is provided the 2x2 support
+    comes back in ONE gather (index-rate bound on TPU: measured ~1.7x
+    faster than four row gathers).  Returns ``(sampled [N, 8], z_t [N],
     points [N, 3])`` where sampled channel 6 is the combined
     bounds+neighbor validity and channel 7 is unused.
     """
+    from .interp import bilinear_sample_quad
+
     h, w = ref_depth.shape
     n = h * w
     points = unproject(ref_depth, intrinsics).reshape(n, 3)
@@ -113,7 +118,10 @@ def warp_and_sample(
     z_safe = jnp.where(z_t > 1e-12, z_t, 1e-12)
     u = p_t[:, 0] / z_safe * intrinsics.fx + intrinsics.ox
     v = p_t[:, 1] / z_safe * intrinsics.fy + intrinsics.oy
-    sampled, sample_valid = bilinear_sample_accel(cur_accel, u, v)
+    if quad is not None:
+        sampled, sample_valid = bilinear_sample_quad(quad, (h, w), u, v)
+    else:
+        sampled, sample_valid = bilinear_sample_accel(cur_accel, u, v)
     validity = sample_valid & (z_t > 1e-12)
     sampled = sampled.at[:, 6].set(validity.astype(sampled.dtype))
     return sampled, z_t, points

@@ -1,0 +1,104 @@
+"""Image warping, normals, and error images.
+
+Parity for the reference's RgbdImage warping/analysis features:
+  * inverse intensity warp (warpIntensity, rgbd_image.cpp:545-602 and the
+    SSE variant with depth-buffered interpolation, rgbd_image_sse.cpp)
+  * forward depth warp (warpDepthForwardAdvanced, rgbd_image.cpp:723-781)
+  * surface normals (calculateNormals, rgbd_image.cpp:502-532)
+  * intensity error image (DenseTracker::computeIntensityErrorImage,
+    dense_tracking.cpp:378-444)
+
+These are dense [H, W] operations used for visualization, debugging, and
+occlusion-aware rendering — not in the solver hot loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .camera import Intrinsics, unproject
+from .interp import bilinear_sample_accel
+from .pyramid import PyramidLevel, build_acceleration
+
+
+def warp_intensity_inverse(
+    ref_depth, ref_valid, cur_level: PyramidLevel, intrinsics: Intrinsics, T
+):
+    """Pull current-frame intensity back into the reference view.
+
+    For each reference pixel with valid depth: transform, project, and
+    bilinearly sample the current intensity (the reference's inverse warp,
+    rgbd_image.cpp:545-602).  Returns (warped [H, W], valid [H, W]).
+    """
+    h, w = ref_depth.shape
+    n = h * w
+    points = unproject(ref_depth, intrinsics).reshape(n, 3)
+    R = T[:3, :3].astype(ref_depth.dtype)
+    t = T[:3, 3].astype(ref_depth.dtype)
+    p = points @ R.T + t
+    z = jnp.maximum(p[:, 2], 1e-12)
+    u = p[:, 0] / z * intrinsics.fx + intrinsics.ox
+    v = p[:, 1] / z * intrinsics.fy + intrinsics.oy
+    accel = build_acceleration(cur_level)
+    sampled, ok = bilinear_sample_accel(accel, u, v)
+    valid = ref_valid.reshape(n) & ok & (p[:, 2] > 1e-12)
+    warped = jnp.where(valid, sampled[:, 0], 0.0)
+    return warped.reshape(h, w), valid.reshape(h, w)
+
+
+def warp_depth_forward(depth, valid, intrinsics: Intrinsics, T):
+    """Push reference depth into the target view with a z-buffer.
+
+    Nearest-pixel splatting with min-depth resolution of collisions —
+    the TPU-native (scatter-min) version of warpDepthForwardAdvanced
+    (rgbd_image.cpp:723-781).  Returns (depth [H, W], valid [H, W]) in the
+    target view; unhit pixels are invalid.
+    """
+    h, w = depth.shape
+    n = h * w
+    points = unproject(depth, intrinsics).reshape(n, 3)
+    R = T[:3, :3].astype(depth.dtype)
+    t = T[:3, 3].astype(depth.dtype)
+    p = points @ R.T + t
+    z = p[:, 2]
+    z_safe = jnp.maximum(z, 1e-12)
+    u = jnp.round(p[:, 0] / z_safe * intrinsics.fx + intrinsics.ox).astype(jnp.int32)
+    v = jnp.round(p[:, 1] / z_safe * intrinsics.fy + intrinsics.oy).astype(jnp.int32)
+    ok = valid.reshape(n) & (z > 1e-12) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    flat_idx = jnp.where(ok, v * w + u, 0)
+    big = jnp.asarray(jnp.inf, depth.dtype)
+    zbuf = jnp.full(n, big, depth.dtype).at[flat_idx].min(jnp.where(ok, z, big))
+    out_valid = jnp.isfinite(zbuf)
+    return jnp.where(out_valid, zbuf, 0.0).reshape(h, w), out_valid.reshape(h, w)
+
+
+def compute_normals(depth, valid, intrinsics: Intrinsics):
+    """Per-pixel surface normals from cross products of point-cloud
+    differences (calculateNormals, rgbd_image.cpp:502-532).
+    Returns (normals [H, W, 3] unit, valid [H, W])."""
+    pts = unproject(depth, intrinsics)
+    dx = jnp.pad(pts, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    dy = jnp.pad(pts, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    tx = 0.5 * (dx[:, 2:] - dx[:, :-2])
+    ty = 0.5 * (dy[2:, :] - dy[:-2, :])
+    nrm = jnp.cross(tx, ty)
+    length = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    vx = jnp.pad(valid, ((0, 0), (1, 1)), mode="edge")
+    vy = jnp.pad(valid, ((1, 1), (0, 0)), mode="edge")
+    ok = valid & vx[:, 2:] & vx[:, :-2] & vy[2:, :] & vy[:-2, :] & (length[..., 0] > 1e-12)
+    return jnp.where(ok[..., None], nrm / jnp.maximum(length, 1e-12), 0.0), ok
+
+
+def intensity_error_image(
+    ref_level: PyramidLevel, cur_level: PyramidLevel, intrinsics: Intrinsics, T
+):
+    """|I_cur(warp(x)) - I_ref(x)| in the reference view — the debug
+    visualization of DenseTracker::computeIntensityErrorImage
+    (dense_tracking.cpp:378-444; surfaced per-edge by the reference's
+    GraphVisualizer context menu)."""
+    warped, valid = warp_intensity_inverse(
+        ref_level.depth, ref_level.valid, cur_level, intrinsics, T
+    )
+    err = jnp.abs(warped - ref_level.intensity)
+    return jnp.where(valid, err, 0.0), valid

@@ -99,6 +99,41 @@ def test_pair_parallel_matcher():
         assert err.max() < 5e-3, f"pair {i}: {err}"
 
 
+def test_pixel_sharded_matcher():
+    """One alignment sharded over pixels across 8 devices must agree with
+    the single-device solver."""
+    from dvo_slam_tpu.models.dense_tracker import match_pyramids
+    from dvo_slam_tpu.parallel.sharded_alignment import make_pixel_sharded_matcher
+    import dataclasses
+
+    cfg = TrackerConfig(
+        first_level=1, last_level=0, max_iterations_per_level=25,
+        kernel_backend="fused",
+    )
+    T_gt = _exp([0.012, -0.006, 0.008, 0.003, 0.0, 0.005])
+    i0, d0, v0 = synthetic.render_frame(np.eye(4), K, SHAPE, seed=11, depth_noise=0.002)
+    i1, d1, v1 = synthetic.render_frame(T_gt, K, SHAPE, seed=11, depth_noise=0.002)
+    ref = Frame.from_arrays(i0, d0, v0, 0.0, cfg.num_levels).levels
+    cur = Frame.from_arrays(i1, d1, v1, 0.1, cfg.num_levels).levels
+
+    m = mesh_lib.make_mesh(8)
+    run = make_pixel_sharded_matcher(cfg, K, m)
+    T_sharded, nll, n_valid = run(ref, cur, jnp.eye(4, dtype=jnp.float32))
+
+    single = match_pyramids(cfg, K, ref, cur)
+    err_vs_single = np.abs(
+        np.asarray(se3.log_se3(jnp.asarray(
+            np.linalg.inv(np.asarray(single.transformation, np.float64))
+            @ np.asarray(T_sharded, np.float64), jnp.float32)))
+    )
+    assert err_vs_single.max() < 1e-4, err_vs_single
+    err_vs_gt = np.abs(np.asarray(se3.log_se3(jnp.asarray(
+        np.linalg.inv(T_gt) @ np.asarray(T_sharded, np.float64), jnp.float32))))
+    assert err_vs_gt.max() < 5e-3, err_vs_gt
+    assert int(n_valid) > 1000
+    assert np.isfinite(float(nll))
+
+
 def test_distributed_ba_rejects_bad_shard_count():
     g, _ = _chain_graph()
     m = mesh_lib.make_mesh(3)

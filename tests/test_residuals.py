@@ -75,6 +75,31 @@ def _np_exp_se3(xi):
     return _pose_from_rt(np.asarray(xi[3:], np.float64), np.asarray(xi[:3], np.float64))
 
 
+def test_quad_table_matches_accel_sampling():
+    """One-gather quad-table sampling must equal the four-gather path."""
+    from dvo_slam_tpu.ops.interp import build_quad_table, bilinear_sample_quad
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 255, (24, 32)).astype(np.float32)
+    depth = rng.uniform(0.5, 3.0, (24, 32)).astype(np.float32)
+    valid = rng.random((24, 32)) > 0.1
+    level = pyramid.make_level(
+        jnp.asarray(img), jnp.asarray(np.where(valid, depth, 0).astype(np.float32)),
+        jnp.asarray(valid),
+    )
+    accel = pyramid.build_acceleration(level)
+    quad = build_quad_table(accel)
+    u = jnp.asarray(rng.uniform(-2.0, 33.0, 300).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-2.0, 25.0, 300).astype(np.float32))
+    vals_a, ok_a = bilinear_sample_accel(accel, u, v)
+    vals_q, ok_q = bilinear_sample_quad(quad, (24, 32), u, v)
+    np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_q))
+    ok = np.asarray(ok_a)
+    np.testing.assert_allclose(
+        np.asarray(vals_q)[ok], np.asarray(vals_a)[ok], atol=1e-5
+    )
+
+
 def test_projection_jacobian_finite_difference():
     """Jw must equal d(project(exp(xi) p))/dxi at xi=0 in unit-focal coords."""
     rng = np.random.default_rng(1)

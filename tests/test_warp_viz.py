@@ -1,0 +1,107 @@
+"""Tests for warping/normals/error-image ops, histogram utils, and the
+headless visualization exporters."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from dvo_slam_tpu.ops import se3, warp
+from dvo_slam_tpu.ops.camera import Intrinsics
+from dvo_slam_tpu.ops.pyramid import build_pyramid
+from dvo_slam_tpu.utils import histogram, synthetic, visualization
+
+K = Intrinsics(80.0, 80.0, 39.5, 29.5)
+SHAPE = (60, 80)
+
+
+def _levels(pose, **kw):
+    i, d, v = synthetic.render_frame(pose, K, SHAPE, **kw)
+    return build_pyramid(jnp.asarray(i), jnp.asarray(d), jnp.asarray(v), 1)[0]
+
+
+def test_inverse_warp_reconstructs_reference():
+    """Warping the current frame by the true transform must reproduce the
+    reference intensity almost exactly (photometric consistency)."""
+    T = np.asarray(se3.exp_se3(jnp.asarray([0.02, 0.01, 0.0, 0.0, 0.0, 0.01])))
+    ref = _levels(np.eye(4))
+    cur = _levels(T)
+    warped, valid = warp.warp_intensity_inverse(
+        ref.depth, ref.valid, cur, K, jnp.asarray(np.linalg.inv(T), jnp.float32)
+    )
+    v = np.asarray(valid)
+    assert v.mean() > 0.7
+    err = np.abs(np.asarray(warped) - np.asarray(ref.intensity))[v]
+    assert np.median(err) < 1.0, np.median(err)
+
+
+def test_error_image_small_at_truth_large_at_identity():
+    T = np.asarray(se3.exp_se3(jnp.asarray([0.05, 0.0, 0.0, 0.0, 0.0, 0.0])))
+    ref = _levels(np.eye(4))
+    cur = _levels(T)
+    err_true, v1 = warp.intensity_error_image(
+        ref, cur, K, jnp.asarray(np.linalg.inv(T), jnp.float32)
+    )
+    err_id, v2 = warp.intensity_error_image(ref, cur, K, jnp.eye(4))
+    m_true = float(np.asarray(err_true)[np.asarray(v1)].mean())
+    m_id = float(np.asarray(err_id)[np.asarray(v2)].mean())
+    assert m_true * 3 < m_id, (m_true, m_id)
+
+
+def test_forward_depth_warp_roundtrip():
+    """Forward-warping depth by T then comparing against the rendered view
+    at T: overlapping pixels should agree to ~cm."""
+    T = np.asarray(se3.exp_se3(jnp.asarray([0.03, 0.0, 0.0, 0.0, 0.0, 0.0])))
+    ref = _levels(np.eye(4))
+    tgt = _levels(T)
+    warped, valid = warp.warp_depth_forward(
+        ref.depth, ref.valid, K, jnp.asarray(np.linalg.inv(T), jnp.float32)
+    )
+    both = np.asarray(valid) & np.asarray(tgt.valid)
+    assert both.mean() > 0.5
+    diff = np.abs(np.asarray(warped) - np.asarray(tgt.depth))[both]
+    assert np.median(diff) < 0.02
+
+
+def test_normals_point_against_view_direction():
+    ref = _levels(np.eye(4))
+    normals, ok = warp.compute_normals(ref.depth, ref.valid, K)
+    n = np.asarray(normals)[np.asarray(ok)]
+    assert len(n) > 1000
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-4)
+
+
+def test_histogram_median_entropy():
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.normal(0, 1, (64, 64)).astype(np.float32))
+    mask = jnp.ones((64, 64), bool)
+    hist = histogram.compute_histogram(data, mask, 101, -5.0, 5.0)
+    assert float(hist.sum()) == 64 * 64
+    med = float(histogram.median_from_histogram(hist, -5.0, 5.0))
+    assert abs(med - float(np.median(np.asarray(data)))) < 0.1
+    ent = float(histogram.entropy_from_histogram(hist))
+    assert 0.0 < ent < np.log2(101)
+    # delta distribution has ~zero entropy
+    hist_d = histogram.compute_histogram(jnp.zeros((8, 8)), jnp.ones((8, 8), bool), 11, -1, 1)
+    assert float(histogram.entropy_from_histogram(hist_d)) < 1e-6
+
+
+def test_visualization_outputs(tmp_path):
+    poses = synthetic.circular_trajectory(10, radius=0.05)
+    visualization.plot_trajectory(
+        str(tmp_path / "traj.png"), poses, poses, title="test"
+    )
+    assert (tmp_path / "traj.png").stat().st_size > 1000
+
+    i, d, v = synthetic.render_frame(np.eye(4), K, SHAPE)
+    visualization.export_point_cloud_ply(
+        str(tmp_path / "cloud.ply"), i, d, v, K, stride=4
+    )
+    text = (tmp_path / "cloud.ply").read_text().splitlines()
+    assert text[0] == "ply"
+    n_declared = int([l for l in text if l.startswith("element vertex")][0].split()[-1])
+    assert n_declared > 100
+
+    err = np.abs(np.random.default_rng(0).normal(0, 5, SHAPE)).astype(np.float32)
+    visualization.save_error_image(str(tmp_path / "err.png"), err, np.ones(SHAPE, bool))
+    assert (tmp_path / "err.png").stat().st_size > 1000
