@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,12 +63,78 @@ def stack_frames(frames: Sequence[Frame]) -> Tuple[PyramidLevel, ...]:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *[f.levels for f in frames])
 
 
+class HostLevelStats(NamedTuple):
+    """Host-side copy of the last pyramid level's statistics."""
+
+    valid_pixels: int
+    valid_constraints: int
+    iterations: int
+    termination: int
+
+
+class HostTrackingResult(NamedTuple):
+    """Host-side tracking result, decoded from ONE flat device download.
+
+    Mirrors TrackingResult's interface (transformation/information/
+    neg_log_likelihood/last_level) with NumPy fields so the keyframe
+    policy, voters, and graph insertion never touch the device again.
+    """
+
+    transformation: np.ndarray  # [4, 4]
+    information: np.ndarray  # [6, 6]
+    neg_log_likelihood: float
+    last_level: HostLevelStats
+
+    def is_nan(self) -> bool:
+        return bool(np.isnan(self.transformation).any())
+
+
+# flat layout: 16 (T) + 36 (info) + 1 (nll) + 4 (last-level stats) = 57
+_FLAT_WIDTH = 57
+
+
+def _flatten_result(r: TrackingResult):
+    last = r.level_stats[-1]
+    stats = jnp.stack(
+        [
+            last.valid_pixels.astype(jnp.float32),
+            last.valid_constraints.astype(jnp.float32),
+            last.iterations.astype(jnp.float32),
+            last.termination.astype(jnp.float32),
+        ]
+    )
+    return jnp.concatenate(
+        [
+            r.transformation.reshape(16),
+            r.information.reshape(36),
+            r.neg_log_likelihood[None],
+            stats,
+        ]
+    )
+
+
+def _decode_result(flat: np.ndarray) -> HostTrackingResult:
+    return HostTrackingResult(
+        transformation=flat[:16].reshape(4, 4).astype(np.float64),
+        information=flat[16:52].reshape(6, 6).astype(np.float64),
+        neg_log_likelihood=float(flat[52]),
+        last_level=HostLevelStats(
+            valid_pixels=int(flat[53]),
+            valid_constraints=int(flat[54]),
+            iterations=int(flat[55]),
+            termination=int(flat[56]),
+        ),
+    )
+
+
 class BatchedMatcher:
     """Batched dense alignment with per-(config, batch-size) jit caching.
 
     ``match_many([(ref, cur, init), ...])`` pads the request list to the
-    next power-of-two bucket, runs one vmapped solve, and unpacks.  This is
-    the single engine behind the dual keyframe/odometry match (batch 2) and
+    next power-of-two bucket, runs one vmapped solve, and downloads ONE
+    flat [B, 57] result array (a single host<->device round trip per wave
+    — the policy/voting code is pure host logic).  This is the single
+    engine behind the dual keyframe/odometry match (batch 2) and
     loop-closure validation waves (batch K).
     """
 
@@ -80,13 +146,20 @@ class BatchedMatcher:
     def _fn(self, batch: int):
         if batch not in self._cache:
             single = functools.partial(match_pyramids, self.cfg, self.intrinsics)
-            self._cache[batch] = jax.jit(jax.vmap(single, in_axes=(0, 0, 0)))
+
+            def flat_batch(ref_b, cur_b, init_b):
+                return jax.vmap(
+                    lambda r, c, i: _flatten_result(single(r, c, i)),
+                    in_axes=(0, 0, 0),
+                )(ref_b, cur_b, init_b)
+
+            self._cache[batch] = jax.jit(flat_batch)
         return self._cache[batch]
 
     def match_many(
         self,
         requests: Sequence[Tuple[Frame, Frame, Optional[np.ndarray]]],
-    ) -> List[TrackingResult]:
+    ) -> List[HostTrackingResult]:
         """Align [(reference, current, initial_pose_or_None), ...]."""
         if not requests:
             return []
@@ -103,12 +176,8 @@ class BatchedMatcher:
         ref_b = stack_frames(refs)
         cur_b = stack_frames(curs)
         init_b = jnp.asarray(np.stack(inits))
-        batched: TrackingResult = self._fn(bucket)(ref_b, cur_b, init_b)
-        # unpack to per-request results (host loop over leading axis)
-        out = []
-        for i in range(n):
-            out.append(jax.tree.map(lambda x: x[i], batched))
-        return out
+        flat = np.asarray(self._fn(bucket)(ref_b, cur_b, init_b))  # one download
+        return [_decode_result(flat[i]) for i in range(n)]
 
-    def match(self, ref: Frame, cur: Frame, initial=None) -> TrackingResult:
+    def match(self, ref: Frame, cur: Frame, initial=None) -> HostTrackingResult:
         return self.match_many([(ref, cur, initial)])[0]

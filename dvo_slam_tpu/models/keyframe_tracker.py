@@ -97,13 +97,12 @@ class KeyframeTracker:
             or kf_t > 1.5 * self.cfg.keyframe.max_translational_distance
         )
         if reject:
-            dtype = r_odometry.transformation.dtype
             r_odometry = r_odometry._replace(
-                transformation=jnp.eye(4, dtype=dtype),
-                information=jnp.eye(6, dtype=dtype) * (0.008 * 0.008),
+                transformation=np.eye(4),
+                information=np.eye(6) * (0.008 * 0.008),
             )
             r_keyframe = r_keyframe._replace(
-                transformation=jnp.asarray(self._last_transform_to_keyframe, dtype)
+                transformation=np.asarray(self._last_transform_to_keyframe, np.float64)
             )
         self._last_transform_to_keyframe = np.asarray(
             r_keyframe.transformation, np.float64

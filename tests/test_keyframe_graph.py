@@ -1,0 +1,120 @@
+"""KeyframeGraph internals: vertex promotion, edge levels, timestamps,
+checkpoint/restore, threaded ingestion, and a longer-sequence stress."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dvo_slam_tpu.config import GraphConfig, KeyframeConfig, SlamConfig, TrackerConfig
+from dvo_slam_tpu.models.frames import Frame
+from dvo_slam_tpu.models.keyframe_tracker import KeyframeTracker
+from dvo_slam_tpu.models.keyframe_graph import ODOMETRY_EDGE_LEVEL
+from dvo_slam_tpu.ops.camera import Intrinsics
+from dvo_slam_tpu.utils import serialization, synthetic, trajectory
+
+K = Intrinsics(80.0, 80.0, 39.5, 29.5)
+SHAPE = (60, 80)
+
+CFG = SlamConfig(
+    tracker=TrackerConfig(
+        first_level=1, last_level=0, max_iterations_per_level=25,
+        precision=1e-4, use_initial_estimate=True,
+    ),
+    keyframe=KeyframeConfig(
+        max_translational_distance=0.05,
+        min_entropy_ratio=0.6,
+        min_equation_system_constraint_ratio=0.3,
+    ),
+    graph=GraphConfig(
+        new_constraint_min_entropy_ratio_coarse=0.03,
+        new_constraint_min_entropy_ratio_fine=0.3,
+        optimization_iterations=16,
+        final_optimization_iterations=60,
+    ),
+)
+
+
+def _run(poses, cfg=CFG, use_threading=False, finish=True):
+    kt = KeyframeTracker(K, cfg, use_threading=use_threading)
+    kt.init()
+    for i, pose in enumerate(poses):
+        i_, d_, v_ = synthetic.render_frame(pose, K, SHAPE, seed=i)
+        kt.update(kt.make_frame(i_, d_, v_, i / 30.0))
+    if finish:
+        kt.force_keyframe()
+        kt.finish()
+    return kt
+
+
+def test_graph_structure_invariants():
+    poses = synthetic.linear_trajectory(12, np.array([0.015, 0, 0]), np.zeros(3))
+    kt = _run(poses)
+    g = kt.graph.graph
+    kf_ids = sorted(k.id for k in kt.graph.keyframes)
+    assert kf_ids == list(range(1, len(kf_ids) + 1))
+    # every keyframe key resolves; timestamps exist for all vertices
+    for k in kt.graph.keyframes:
+        assert g.has_vertex(("kf", k.id))
+        assert ("kf", k.id) in kt.graph.timestamps
+    for key in g.vertex_keys():
+        assert key in kt.graph.timestamps
+    # consecutive keyframes share a level-0 edge (the promoted keyframe
+    # edge); intermediate odometry edges sit at the odometry level
+    for a, b in zip(kf_ids[:-1], kf_ids[1:]):
+        e = g.find_edge(("kf", a), ("kf", b))
+        assert e is not None and g.edge_level[e] == 0, (a, b)
+    levels = g.edge_level[: g.num_edges]
+    # after dense final optimization everything was promoted to level 0
+    assert (levels == 0).all()
+    # trajectory covers every input frame exactly once
+    stamps, p = kt.trajectory()
+    assert len(stamps) == len(poses)
+    assert len(np.unique(stamps)) == len(poses)
+
+
+def test_edge_levels_before_final():
+    poses = synthetic.linear_trajectory(10, np.array([0.015, 0, 0]), np.zeros(3))
+    kt = _run(poses, finish=False)
+    g = kt.graph.graph
+    levels = g.edge_level[: g.num_edges]
+    assert (levels == ODOMETRY_EDGE_LEVEL).any()  # odometry edges demoted
+    assert (levels == 0).any()  # promoted keyframe edges
+
+
+def test_keyframe_graph_checkpoint_roundtrip(tmp_path):
+    poses = synthetic.circular_trajectory(14, radius=0.05)
+    kt = _run(poses)
+    path = str(tmp_path / "slam_state.npz")
+    serialization.save_keyframe_graph(path, kt.graph)
+
+    from dvo_slam_tpu.models.keyframe_graph import KeyframeGraph
+
+    restored = KeyframeGraph(K, CFG.graph, CFG.tracker)
+    serialization.load_keyframe_graph_state(path, restored)
+
+    s1, p1 = kt.trajectory()
+    s2, p2 = restored.trajectory()
+    np.testing.assert_allclose(s1, s2)
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+    assert [k.id for k in restored.keyframes] == [k.id for k in kt.graph.keyframes]
+    # the restored graph still optimizes
+    restored.graph.optimize(iterations=5, max_level=2)
+
+
+def test_threaded_backend_matches_synchronous():
+    poses = synthetic.linear_trajectory(10, np.array([0.015, 0, 0]), np.zeros(3))
+    kt_sync = _run(poses, use_threading=False, finish=False)
+    kt_thr = _run(poses, use_threading=True, finish=False)
+    kt_thr.graph.wait_for_queue()
+    assert len(kt_thr.graph.keyframes) == len(kt_sync.graph.keyframes)
+    kt_thr.graph.shutdown()
+
+
+def test_long_sequence_capacity_growth():
+    """Enough keyframes/edges to cross PoseGraph capacity doublings."""
+    poses = synthetic.circular_trajectory(40, radius=0.12, rot_amplitude=0.04)
+    kt = _run(poses)
+    assert len(kt.graph.keyframes) >= 5
+    stamps, est = kt.trajectory()
+    gt_stamps = np.arange(40) / 30.0
+    ate = trajectory.ate_rmse(stamps, est, gt_stamps, poses)
+    assert ate < 0.01, ate
