@@ -137,6 +137,42 @@ class KeyframeTracker:
             )
         return True, r_odometry, r_keyframe
 
+    # -- runtime reconfiguration (the dynamic_reconfigure analog,
+    #    reference: KeyframeTracker::configureTracking/-KeyframeSelection/
+    #    -Mapping, keyframe_tracker.cpp:333-352) ---------------------------
+    def configure_tracking(self, tracker_cfg):
+        """Swap the dense-tracking config; rebuilds the jitted matchers
+        (new configs compile on first use, like the reference's
+        reconfigure-locked tracker swap)."""
+        import dataclasses
+
+        from .frames import BatchedMatcher
+        from .constraints import ConstraintProposalValidator
+
+        self.cfg = dataclasses.replace(self.cfg, tracker=tracker_cfg)
+        self.lt.cfg = tracker_cfg
+        self.lt.matcher = BatchedMatcher(tracker_cfg, self.intrinsics)
+        self.graph.tracker_cfg = tracker_cfg
+        self.graph.validator = ConstraintProposalValidator(
+            self.intrinsics, self.graph.cfg, tracker_cfg
+        )
+
+    def configure_keyframe_selection(self, keyframe_cfg):
+        import dataclasses
+
+        self.cfg = dataclasses.replace(self.cfg, keyframe=keyframe_cfg)
+
+    def configure_mapping(self, graph_cfg):
+        import dataclasses
+
+        from .constraints import ConstraintProposalValidator
+
+        self.cfg = dataclasses.replace(self.cfg, graph=graph_cfg)
+        self.graph.cfg = graph_cfg
+        self.graph.validator = ConstraintProposalValidator(
+            self.intrinsics, graph_cfg, self.graph.tracker_cfg
+        )
+
     # -- public API (reference: keyframe_tracker.h:36-66) ------------------
     def init(self, initial_transformation: Optional[np.ndarray] = None):
         self._initial_transformation = (

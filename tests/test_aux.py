@@ -121,3 +121,44 @@ def test_cli_requires_input(capsys):
     from dvo_slam_tpu.cli.benchmark import main
 
     assert main([]) == 2
+
+
+def test_experiment_metrics():
+    from dvo_slam_tpu.utils import metrics
+
+    # identical poses fully overlap; a far-away pose doesn't
+    same = metrics.frustum_overlap(np.eye(4), np.eye(4), K, SHAPE)
+    assert same > 0.95  # boundary samples can round out
+    far = np.eye(4)
+    far[:3, 3] = [50.0, 0.0, 0.0]
+    assert metrics.frustum_overlap(np.eye(4), far, K, SHAPE) < 0.05
+    # JBLD: zero at equality, positive and symmetric otherwise
+    A = np.diag([1.0, 2.0, 3.0])
+    B = np.diag([2.0, 2.0, 1.0])
+    assert metrics.jensen_bregman_logdet(A, A) < 1e-12
+    d1 = metrics.jensen_bregman_logdet(A, B)
+    d2 = metrics.jensen_bregman_logdet(B, A)
+    assert d1 > 0 and abs(d1 - d2) < 1e-12
+
+
+def test_runtime_reconfiguration():
+    import dataclasses
+
+    from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+    from dvo_slam_tpu.models.keyframe_tracker import KeyframeTracker
+    from dvo_slam_tpu.utils import synthetic
+
+    cfg = SlamConfig(tracker=CFG)
+    kt = KeyframeTracker(K, cfg)
+    kt.init()
+    poses = synthetic.linear_trajectory(3, np.array([0.005, 0, 0]), np.zeros(3))
+    for i, pose in enumerate(poses):
+        i_, d_, v_ = synthetic.render_frame(pose, K, SHAPE, seed=i)
+        kt.update(kt.make_frame(i_, d_, v_, i / 30.0))
+    new_tracker = dataclasses.replace(CFG, max_iterations_per_level=10)
+    kt.configure_tracking(new_tracker)
+    assert kt.lt.cfg.max_iterations_per_level == 10
+    # tracking continues with the new config
+    i_, d_, v_ = synthetic.render_frame(poses[-1], K, SHAPE, seed=9)
+    pose = kt.update(kt.make_frame(i_, d_, v_, 0.2))
+    assert np.isfinite(np.asarray(pose)).all()
