@@ -25,6 +25,13 @@ Key design points:
       b = -(P00 v00 + P01 (v01 + v10) + P11 v11)
     exactly reproducing A = sum w J^T P J, b = -sum w J^T P r
     (least_squares.cpp:59-64) in a single data pass.
+  * All 136 partial-sum scalars are one 16x16 Gram matrix on the MXU:
+    with U = [sqrt(w) J_I(6); sqrt(w) J_Z(6); sqrt(w) r_I; sqrt(w) r_Z;
+    mask; 0] stacked [16, BLOCK], U U^T contains every weighted product
+    (m00/m01/m11 blocks, the four J^T r vectors, the 2x2 scale numerator,
+    and n = sum mask on the diagonal).  One [16, B] x [B, 16] contraction
+    per tile replaces 136 VPU cross-lane reductions — the TPU-idiomatic
+    form of the reference's SSE rank-update (math_sse.cpp:82-178).
   * Partial sums accumulate across the sequential TPU grid into single
     outputs; per-pixel residuals and weights are also emitted for the
     (cheap) log-likelihood pass once the new precision is known.
@@ -117,37 +124,31 @@ def _pixel_math(ref, cur, precision, first_iter, fx, fy, dof):
     return r_i, r_z, w, maskf, j_i, j_z
 
 
-def _reduce_partials(r_i, r_z, w, maskf, j_i, j_z):
-    """All precision-independent reductions from the pixel chain."""
-    dtype = r_i.dtype
-    wj_i = [w * c for c in j_i]
-    wj_z = [w * c for c in j_z]
-
-    def outer(rows_w, cols):
-        return jnp.stack(
-            [
-                jnp.stack([jnp.sum(a * b) for b in cols], axis=0)
-                for a in rows_w
-            ],
-            axis=0,
-        )
-
-    m00 = outer(wj_i, j_i)
-    m01 = outer(wj_i, j_z)
-    m11 = outer(wj_z, j_z)
-    v = jnp.stack(
-        [
-            jnp.stack([jnp.sum(c * r_i) for c in wj_i]),
-            jnp.stack([jnp.sum(c * r_z) for c in wj_i]),
-            jnp.stack([jnp.sum(c * r_i) for c in wj_z]),
-            jnp.stack([jnp.sum(c * r_z) for c in wj_z]),
-        ],
-        axis=0,
+def _gram_rows(r_i, r_z, w, maskf, j_i, j_z):
+    """Stack the 16 weighted channel rows whose Gram matrix carries every
+    precision-independent reduction.  Inputs are 2D [rows, cols] tiles (or
+    [1, N]); output is [16, rows*cols-shaped] via concatenation on axis 0.
+    """
+    sw = jnp.sqrt(w)
+    rows = (
+        [sw * c for c in j_i]
+        + [sw * c for c in j_z]
+        + [sw * r_i, sw * r_z, maskf, jnp.zeros_like(maskf)]
     )
-    scale_sum = jnp.stack(
-        [jnp.sum(w * r_i * r_i), jnp.sum(w * r_i * r_z), jnp.sum(w * r_z * r_z)]
-    )
-    n = jnp.sum(maskf)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _unpack_gram(g):
+    """Gram [16, 16] -> (m00, m01, m11, v, scale_sum, n).
+
+    Layout (see _gram_rows): rows 0-5 sqrt(w)J_I, 6-11 sqrt(w)J_Z,
+    12 sqrt(w)r_I, 13 sqrt(w)r_Z, 14 mask, 15 zero."""
+    m00 = g[0:6, 0:6]
+    m01 = g[0:6, 6:12]
+    m11 = g[6:12, 6:12]
+    v = jnp.stack([g[0:6, 12], g[0:6, 13], g[6:12, 12], g[6:12, 13]], axis=0)
+    scale_sum = jnp.stack([g[12, 12], g[12, 13], g[13, 13]])
+    n = g[14, 14]
     return m00, m01, m11, v, scale_sum, n
 
 
@@ -165,7 +166,15 @@ def fused_partials_xla(
     r_i, r_z, w, maskf, j_i, j_z = _pixel_math(
         ref, cur, precision3, first_iter, intrinsics.fx, intrinsics.fy, dof
     )
-    m00, m01, m11, v, scale_sum, n = _reduce_partials(r_i, r_z, w, maskf, j_i, j_z)
+    two_d = lambda x: x[None, :]
+    U = _gram_rows(
+        two_d(r_i), two_d(r_z), two_d(w), two_d(maskf),
+        [two_d(c) for c in j_i], [two_d(c) for c in j_z],
+    )  # [16, N]
+    gram = jax.lax.dot_general(
+        U, U, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m00, m01, m11, v, scale_sum, n = _unpack_gram(gram)
     return FusedPartials(
         m00=m00,
         m01=m01,
@@ -179,47 +188,24 @@ def fused_partials_xla(
 
 
 def _unpack_stats(stats, residuals, weights) -> FusedPartials:
-    """stats layout (built by the kernel's iota-mask scatter):
-    rows 0-2 = m00/m01/m11 (36 each), row 3 = v (24),
-    row 4 = [S_II, S_IZ, S_ZZ, n]."""
+    """stats = the accumulated [16, 128] tile whose [:, :16] block is the
+    Gram matrix (see _gram_rows for the row layout)."""
+    m00, m01, m11, v, scale_sum, n = _unpack_gram(stats[:, :16])
     return FusedPartials(
-        m00=stats[0, :36].reshape(6, 6),
-        m01=stats[1, :36].reshape(6, 6),
-        m11=stats[2, :36].reshape(6, 6),
-        v=stats[3, :24].reshape(4, 6),
-        scale_sum=stats[4, :3],
-        num_valid=stats[4, 3],
+        m00=m00,
+        m01=m01,
+        m11=m11,
+        v=v,
+        scale_sum=scale_sum,
+        num_valid=n,
         residuals=residuals,
         weights=weights,
     )
 
 
-def _scalar_reductions(r_i, r_z, w, maskf, j_i, j_z):
-    """All 136 precision-independent scalar sums as (row, col, value)
-    entries of the stats tile (2D reductions only — Mosaic has no 1D)."""
-    wj_i = [w * c for c in j_i]
-    wj_z = [w * c for c in j_z]
-    entries = []
-    for a in range(6):
-        for b in range(6):
-            entries.append((0, a * 6 + b, jnp.sum(wj_i[a] * j_i[b])))
-            entries.append((1, a * 6 + b, jnp.sum(wj_i[a] * j_z[b])))
-            entries.append((2, a * 6 + b, jnp.sum(wj_z[a] * j_z[b])))
-    for b in range(6):
-        entries.append((3, 0 * 6 + b, jnp.sum(wj_i[b] * r_i)))
-        entries.append((3, 1 * 6 + b, jnp.sum(wj_i[b] * r_z)))
-        entries.append((3, 2 * 6 + b, jnp.sum(wj_z[b] * r_i)))
-        entries.append((3, 3 * 6 + b, jnp.sum(wj_z[b] * r_z)))
-    entries.append((4, 0, jnp.sum(w * r_i * r_i)))
-    entries.append((4, 1, jnp.sum(w * r_i * r_z)))
-    entries.append((4, 2, jnp.sum(w * r_z * r_z)))
-    entries.append((4, 3, jnp.sum(maskf)))
-    return entries
-
-
 def _kernel(params_ref, ref_ref, cur_ref, stats_ref, rw_ref):
-    """One grid step: an [8, R, 128] channel-plane tile of pixels ->
-    accumulate the stats tile, write residuals/weights."""
+    """One grid step: an [8, BLOCK] channel-major tile of pixels ->
+    accumulate the Gram stats tile, write residuals/weights."""
     g = pl.program_id(0)
 
     fx = params_ref[0, 0]
@@ -228,27 +214,25 @@ def _kernel(params_ref, ref_ref, cur_ref, stats_ref, rw_ref):
     first = params_ref[0, 3]
     precision = (params_ref[0, 4], params_ref[0, 5], params_ref[0, 6])
 
-    ref = ref_ref[:]  # [8, R, 128]
+    ref = ref_ref[:]  # [8, BLOCK]
     cur = cur_ref[:]
-    channels_ref = [ref[c] for c in range(7)]  # each [R, 128] — 2D tiles
-    channels_cur = [cur[c] for c in range(8)]
+    channels_ref = [ref[c : c + 1, :] for c in range(7)]  # each [1, BLOCK]
+    channels_cur = [cur[c : c + 1, :] for c in range(8)]
 
     r_i, r_z, w, maskf, j_i, j_z = _pixel_math(
         channels_ref, channels_cur, precision, first, fx, fy, dof
     )
 
-    rw_ref[0] = r_i
-    rw_ref[1] = r_z
-    rw_ref[2] = w
-    rw_ref[3] = maskf
+    rw_ref[:] = jnp.concatenate([r_i, r_z, w, maskf], axis=0)
 
-    # scatter the scalar sums into the [8, 128] stats tile via iota masks
-    # (keeps every op 2D; 136 masked adds of an 8x128 tile are negligible)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    stats = jnp.zeros((8, 128), r_i.dtype)
-    for row, col, val in _scalar_reductions(r_i, r_z, w, maskf, j_i, j_z):
-        stats = stats + jnp.where((row_ids == row) & (col_ids == col), val, 0.0)
+    # one MXU contraction produces every partial sum at once
+    U = _gram_rows(r_i, r_z, w, maskf, j_i, j_z)  # [16, BLOCK]
+    gram = jax.lax.dot_general(
+        U, U, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    stats = jnp.concatenate(
+        [gram, jnp.zeros((16, 112), gram.dtype)], axis=1
+    )  # pad to the [16, 128] lane tile
 
     @pl.when(g == 0)
     def _init():
@@ -268,18 +252,16 @@ def fused_partials_pallas(
     dof: float = 5.0,
     interpret: bool = False,
 ) -> FusedPartials:
-    """Fused Pallas pass.  Pixels are laid out as [8 channels, rows, 128]
-    planes; the grid walks row-blocks of R rows (BLOCK = R * 128 pixels).
-    Padding lanes contribute nothing (sel/valid are 0 there)."""
+    """Fused Pallas pass.  Pixels are laid out channel-major [8, N]; the
+    grid walks BLOCK-pixel tiles (BLOCK is a multiple of the 128-lane
+    axis).  Padding lanes contribute nothing (sel/valid are 0 there)."""
     n = sampled.shape[0]
-    rows_per_block = BLOCK // 128
     n_pad = -(-n // BLOCK) * BLOCK
     pad = n_pad - n
-    rows = n_pad // 128
     dtype = sampled.dtype
 
-    cur = jnp.pad(sampled, ((0, pad), (0, 0))).T.reshape(8, rows, 128)
-    ref = jnp.pad(refpack, ((0, pad), (0, 0))).T.reshape(8, rows, 128)
+    cur = jnp.pad(sampled, ((0, pad), (0, 0))).T  # [8, n_pad]
+    ref = jnp.pad(refpack, ((0, pad), (0, 0))).T
 
     params = jnp.concatenate(
         [
@@ -290,34 +272,27 @@ def fused_partials_pallas(
         ]
     )[None, :]  # [1, 8]
 
-    grid = rows // rows_per_block
+    grid = n_pad // BLOCK
     stats, rw = pl.pallas_call(
         _kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda g: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (8, rows_per_block, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (8, rows_per_block, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((8, BLOCK), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BLOCK), lambda g: (0, g), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (4, rows_per_block, 128), lambda g: (0, g, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((16, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, BLOCK), lambda g: (0, g), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8, 128), dtype),
-            jax.ShapeDtypeStruct((4, rows, 128), dtype),
+            jax.ShapeDtypeStruct((16, 128), dtype),
+            jax.ShapeDtypeStruct((4, n_pad), dtype),
         ],
         interpret=interpret,
     )(params, ref, cur)
 
-    rw_flat = rw.reshape(4, n_pad)
-    return _unpack_stats(stats, rw_flat[:2, :n].T, rw_flat[2, :n])
+    return _unpack_stats(stats, rw[:2, :n].T, rw[2, :n])
 
 
 def assemble_normal_equations(partials: FusedPartials, precision):

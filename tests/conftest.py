@@ -20,3 +20,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Drop the axon TPU plugin site dir so plugin discovery cannot touch the
 # (sometimes hanging) remote-compile tunnel during CPU-only test runs.
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+
+# The sandbox pre-imports jax._src.config at interpreter startup (via a
+# site hook), so JAX_PLATFORMS=axon is already latched before this file
+# runs and the env var alone is ignored.  Override through the live config
+# object instead — this must happen before any backend is instantiated.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

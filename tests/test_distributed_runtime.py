@@ -33,6 +33,9 @@ _WORKER = textwrap.dedent(
     sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
     sys.path.insert(0, {repo!r})
     import jax, jax.numpy as jnp
+    # the sandbox site hook pre-imports jax._src.config with
+    # JAX_PLATFORMS=axon latched; override through the live config
+    jax.config.update("jax_platforms", "cpu")
     from dvo_slam_tpu.parallel.distributed import initialize, HostWorkPartition
 
     pid = int(sys.argv[1])
@@ -58,6 +61,14 @@ def test_two_process_distributed_smoke(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.replace("{port}", str(port)).format(repo=repo))
     env = dict(os.environ)
+    # keep the axon site hook out of the workers entirely (it would
+    # pre-import jax against the TPU tunnel before the script runs)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p
+    )
+    env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid)],
