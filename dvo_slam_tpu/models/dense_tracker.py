@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import InfluenceFunction, ScaleEstimator, TrackerConfig
-from ..ops import pallas_kernels, robust, se3
+from ..ops import least_squares, pallas_kernels, robust, se3
 from ..ops.camera import Intrinsics, unproject
 from ..ops.pyramid import (
     PyramidLevel,
@@ -110,19 +110,9 @@ class _Carry(NamedTuple):
     done: jnp.ndarray  # [] bool
 
 
-def _solve_jacobi_preconditioned(A, b):
-    """Solve the 6x6 system with diagonal pre-scaling.
-
-    The reference solves in float64 via LDLT (dense_tracking.cpp:345-347);
-    on TPU we stay in float32 and recover conditioning with symmetric
-    Jacobi preconditioning: D^-1/2 A D^-1/2 y = D^-1/2 b, x = D^-1/2 y.
-    """
-    d = jnp.sqrt(jnp.maximum(jnp.diagonal(A), 1e-20))
-    d_inv = 1.0 / d
-    A_s = A * d_inv[:, None] * d_inv[None, :]
-    b_s = b * d_inv
-    y = jnp.linalg.solve(A_s, b_s)
-    return y * d_inv
+# The production 6x6 solve (see ops/least_squares.py for the full solver
+# registry: LDLT-equivalent, EVD-truncated, SVD).
+_solve_jacobi_preconditioned = least_squares.solve_ldlt
 
 
 def _weights_for(cfg: TrackerConfig, residuals, precision, mask):

@@ -206,3 +206,42 @@ def test_normal_equations_oracle():
         b_ref -= w[i] * J[i].T @ P @ r[i]
     np.testing.assert_allclose(np.asarray(A), A_ref, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(b), b_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_least_squares_solver_registry():
+    """solve_ldlt / solve_evd / solve_svd agree on a well-posed system;
+    solve_evd drops the null direction of a rank-deficient one; combine
+    merges partial accumulations exactly (the reference's
+    NormalEquationsLeastSquares/Evd/Svd + combine, least_squares.cpp)."""
+    from dvo_slam_tpu.ops import least_squares as ls
+
+    rng = np.random.default_rng(1)
+    J = rng.standard_normal((40, 6)).astype(np.float32)
+    x_true = rng.standard_normal(6).astype(np.float32)
+    r = (-J @ x_true).astype(np.float32)
+    A = jnp.asarray(J.T @ J)
+    b = jnp.asarray(-J.T @ r)
+
+    for solver in (ls.solve_ldlt, ls.solve_evd):
+        x = np.asarray(solver(A, b))
+        np.testing.assert_allclose(x, x_true, rtol=1e-3, atol=1e-3)
+    x = np.asarray(ls.solve_svd(jnp.asarray(J), jnp.asarray(r)))
+    np.testing.assert_allclose(x, x_true, rtol=1e-3, atol=1e-3)
+
+    # rank-deficient: last twist direction unobserved
+    J5 = J.copy()
+    J5[:, 5] = 0.0
+    A5 = jnp.asarray(J5.T @ J5)
+    b5 = jnp.asarray(J5.T @ J5 @ x_true)
+    x5 = np.asarray(ls.solve_evd(A5, b5))
+    np.testing.assert_allclose(x5[:5], x_true[:5], rtol=1e-3, atol=1e-3)
+    assert abs(x5[5]) < 1e-4  # truncated, not amplified
+
+    # partial-sum combine
+    half = ls.NormalEquations(
+        A=A / 2, b=b / 2, error=jnp.asarray(1.5), num_constraints=jnp.asarray(20)
+    )
+    merged = ls.combine(half, half)
+    np.testing.assert_allclose(np.asarray(merged.A), np.asarray(A), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(merged.b), np.asarray(b), rtol=1e-6)
+    assert float(merged.error) == 3.0 and int(merged.num_constraints) == 40

@@ -1,18 +1,20 @@
 """Component-level TPU timing for the dense-tracking hot path.
 
-Times each stage of the per-frame work separately (with the sandbox relay
-protocol: distinct inputs per rep, download-synced) so optimization effort
-goes where the milliseconds are:
+The sandbox relay adds ~60 ms of round-trip latency per dispatched
+program, so per-call timing measures the tunnel, not the chip.  Every
+component here is therefore looped ON DEVICE inside one jit program
+(lax.scan over distinct per-iteration inputs) and timed as total/iters —
+the same amortization bench.py's whole-sequence scan gets.
 
-  pyramid   — raw u8/u16 -> 4-level pyramid (+derivatives, masks)
+Stages:
+  pyramid    — raw u8/u16 -> 4-level pyramid (+derivatives, masks)
   accel+quad — acceleration tensor + quad gather table per solved level
-  gather    — warp_and_sample per solved level (the irregular access)
-  partials  — fused Pallas partials kernel per solved level
-  iter      — one full IRLS iteration per solved level (gather+partials+
-              stats+solve)
-  match     — full 3->1 coarse-to-fine solve (as in bench.py)
+  gather     — warp_and_sample per solved level (the irregular access)
+  partials   — fused partials kernel per solved level
+  level      — one full IRLS level solve (all while_loop iterations)
+  match      — full 3->1 coarse-to-fine solve
 
-Run: python tools/profile_components.py [--backend pallas|fused]
+Run: PYTHONPATH=/root/repo python tools/profile_components.py [--backend pallas|fused]
 """
 
 import argparse
@@ -22,22 +24,10 @@ import time
 import numpy as np
 
 
-def timed(fn, variants, sync, reps=5):
-    """Median wall time of fn over distinct pre-uploaded inputs."""
-    outs = [fn(*v) for v in variants[:1]]  # warmup (compile + first exec)
-    sync(outs[0])
-    times = []
-    for v in variants[:reps]:
-        t0 = time.perf_counter()
-        out = fn(*v)
-        sync(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="pallas", choices=["pallas", "fused", "xla"])
+    ap.add_argument("--iters", type=int, default=32, help="on-device loop count")
     args = ap.parse_args()
 
     import jax
@@ -68,65 +58,112 @@ def main():
 
     cfg = dataclasses.replace(benchmark_config().tracker, kernel_backend=args.backend)
     shape = (480, 640)
-    reps = 5
+    K_ITERS = args.iters
+    B = 4  # distinct input frames cycled on device
 
     sync = lambda out: np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
 
-    # distinct raw frames per rep
     raws = []
-    for r in range(reps + 1):
+    for r in range(B + 1):
         intensity, depth, valid = synthetic.render_frame(
             np.eye(4), TUM_FR1, shape, seed=r, depth_noise=0.002, intensity_noise=1.0
         )
-        iu8 = jnp.asarray(np.clip(intensity, 0, 255).astype(np.uint8))
-        du16 = jnp.asarray(np.where(valid, depth * 5000.0, 0).astype(np.uint16))
-        sync(iu8), sync(du16)
+        iu8 = np.clip(intensity, 0, 255).astype(np.uint8)
+        du16 = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
         raws.append((iu8, du16))
+    iu8_b = jnp.asarray(np.stack([r[0] for r in raws]))  # [B+1, H, W]
+    du16_b = jnp.asarray(np.stack([r[1] for r in raws]))
+    sync(iu8_b), sync(du16_b)
 
-    @jax.jit
-    def pyramid_fn(iu8, du16):
-        depth, valid = convert_raw_depth(du16)
-        return build_pyramid(iu8.astype(jnp.float32), depth, valid, cfg.num_levels)
+    def scanned(fn, n_inputs):
+        """Build a jitted on-device loop: scan fn over K_ITERS steps,
+        cycling through B distinct inputs; returns (callable, seconds/iter
+        measurer).  fn takes (i, *arrays) and must return an array (chained
+        into the carry so iterations cannot be elided)."""
 
-    t_pyr = timed(pyramid_fn, raws, sync, reps)
-    print(f"pyramid build (4 levels, 640x480): {t_pyr*1e3:7.3f} ms")
+        @jax.jit
+        def run(*arrays):
+            def step(carry, i):
+                out = fn(i % B, *arrays)
+                leaf = jax.tree.leaves(out)[0]
+                return carry + jnp.sum(leaf.astype(jnp.float32)) * 1e-30, None
 
-    pyrs = [pyramid_fn(*r) for r in raws]
+            total, _ = jax.lax.scan(
+                step, jnp.zeros((), jnp.float32), jnp.arange(K_ITERS)
+            )
+            return total
+
+        def measure(*arrays):
+            sync(run(*arrays))  # warmup: compile + stream executable
+            best = np.inf
+            for rep in range(3):
+                t0 = time.perf_counter()
+                sync(run(*arrays))
+                best = min(best, time.perf_counter() - t0)
+            return best / K_ITERS
+
+        return measure
+
+    # on-device input variation: index into the stacked frames
+    def pyramid_of(i, iu8s, du16s):
+        depth, valid = convert_raw_depth(du16s[i])
+        return build_pyramid(iu8s[i].astype(jnp.float32), depth, valid, cfg.num_levels)
+
+    t_pyr = scanned(pyramid_of, 2)(iu8_b, du16_b)
+    print(f"pyramid build (4 levels, 640x480): {t_pyr*1e3:7.3f} ms/frame")
+
+    # host-side: build pyramids once, stack per level
+    pyr_fn = jax.jit(functools.partial(pyramid_of, iu8s=iu8_b, du16s=du16_b))
+    pyrs = [pyr_fn(i) for i in range(B + 1)]
     for p in pyrs:
         sync(p)
 
     T_small = se3.exp_se3(jnp.asarray([0.01, 0.0, 0.005, 0.0, 0.0, 0.004], jnp.float32))
+    sel_fn = functools.partial(
+        selection_mask,
+        intensity_derivative_threshold=cfg.intensity_derivative_threshold,
+        depth_derivative_threshold=cfg.depth_derivative_threshold,
+    )
 
-    total_iter = 0.0
+    total_level = 0.0
     for level in range(cfg.first_level, cfg.last_level - 1, -1):
         k = TUM_FR1.at_level(level)
-        levels = [p[level] for p in pyrs]
+        stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        lv_b = stack([p[level] for p in pyrs])  # batched PyramidLevel
 
-        accel_fn = jax.jit(lambda lv: build_quad_table(build_acceleration(lv)))
-        t_accel = timed(accel_fn, [(lv,) for lv in levels], sync, reps)
+        t_accel = scanned(
+            lambda i, lv: build_quad_table(
+                build_acceleration(jax.tree.map(lambda x: x[i], lv))
+            ),
+            1,
+        )(lv_b)
 
-        quads = [accel_fn(lv) for lv in levels]
-        accels = [jax.jit(build_acceleration)(lv) for lv in levels]
-        for q in quads:
-            sync(q)
+        # precompute accel+quad stacks for the gather/partials stages
+        aq_fn = jax.jit(
+            lambda lv: (build_acceleration(lv), build_quad_table(build_acceleration(lv)))
+        )
+        accels, quads = zip(*[aq_fn(p[level]) for p in pyrs])
+        accel_b, quad_b = jnp.stack(accels), jnp.stack(quads)
+        sync(accel_b), sync(quad_b)
 
-        gather_fn = jax.jit(
+        def gather_of(i, lv, accel_b, quad_b):
+            lvl = jax.tree.map(lambda x: x[i], lv)
+            return warp_and_sample(lvl.depth, accel_b[i], k, T_small, quad=quad_b[i])[0]
+
+        t_gather = scanned(gather_of, 3)(lv_b, accel_b, quad_b)
+
+        # partials kernel alone over precomputed samples
+        sam_fn = jax.jit(
             lambda lv, accel, quad: warp_and_sample(lv.depth, accel, k, T_small, quad=quad)
         )
-        gv = [(lv, a, q) for lv, a, q in zip(levels, accels, quads)]
-        t_gather = timed(gather_fn, gv, sync, reps)
-
-        # partials kernel alone
-        sampled_list = []
-        for lv, a, q in gv:
-            s, z_t, _ = gather_fn(lv, a, q)
+        sams, rps = [], []
+        for p, a, q in zip(pyrs, accels, quads):
+            s, z_t, _ = sam_fn(p[level], a, q)
             s = s.at[:, 7].set(z_t)
-            sel = jax.jit(functools.partial(selection_mask,
-                intensity_threshold=cfg.intensity_derivative_threshold,
-                depth_threshold=cfg.depth_derivative_threshold))(lv)
-            rp = jax.jit(functools.partial(_build_refpack, intrinsics=k))(lv, sel)
+            rp = jax.jit(lambda lv: _build_refpack(lv, sel_fn(lv), k))(p[level])
             sync(s), sync(rp)
-            sampled_list.append((s, rp))
+            sams.append(s), rps.append(rp)
+        sam_b, rp_b = jnp.stack(sams), jnp.stack(rps)
         p3 = jnp.asarray([3000.0, 50.0, 2.0e5], jnp.float32)
         first = jnp.asarray(0, jnp.int32)
         kern = (
@@ -134,44 +171,46 @@ def main():
             if args.backend == "pallas"
             else pallas_kernels.fused_partials_xla
         )
-        part_fn = jax.jit(lambda s, rp: kern(s, rp, p3, first, k))
-        t_part = timed(part_fn, sampled_list, sync, reps)
+        t_part = scanned(
+            lambda i, sam_b, rp_b: kern(sam_b[i], rp_b[i], p3, first, k).m00, 2
+        )(sam_b, rp_b)
 
-        # one full level solve (all iterations) — isolates while_loop cost
-        def level_fn(lv_ref, lv_cur):
-            sel = selection_mask(
-                lv_ref,
-                cfg.intensity_derivative_threshold,
-                cfg.depth_derivative_threshold,
-            )
-            accel = build_acceleration(lv_cur)
+        # one full level solve (all while_loop iterations)
+        def level_of(i, lv):
+            ref = jax.tree.map(lambda x: x[i], lv)
+            cur = jax.tree.map(lambda x: x[(i + 1) % (B + 1)], lv)
+            sel = sel_fn(ref)
+            accel = build_acceleration(cur)
             x = se3.log_se3(jnp.eye(4, dtype=jnp.float32))
             final, stats = _match_level(
-                cfg, k, lv_ref, sel, accel, x,
-                se3.identity(jnp.float32), jnp.eye(4, jnp.float32),
-                jnp.eye(2, jnp.float32),
+                cfg, k, ref, sel, accel, x,
+                se3.identity(jnp.float32), jnp.eye(4, dtype=jnp.float32),
+                jnp.eye(2, dtype=jnp.float32),
             )
-            return final.T, stats.iterations
-        level_jit = jax.jit(level_fn)
-        lv_pairs = [(pyrs[i][level], pyrs[i + 1][level]) for i in range(reps)]
-        t_level = timed(level_jit, lv_pairs, sync, reps - 1)
-        iters = int(np.asarray(level_jit(*lv_pairs[0])[1]))
-        total_iter += t_level
+            return final.T
 
-        h, w = levels[0].intensity.shape
+        t_level = scanned(level_of, 1)(lv_b)
+        total_level += t_level
+
+        h, w = pyrs[0][level].intensity.shape
         print(
-            f"level {level} ({w}x{h}): accel+quad {t_accel*1e3:7.3f}  "
+            f"level {level} ({w:3d}x{h:3d}): accel+quad {t_accel*1e3:7.3f}  "
             f"gather {t_gather*1e3:7.3f}  partials {t_part*1e3:7.3f}  "
-            f"full-solve {t_level*1e3:7.3f} ms ({iters} iters)"
+            f"level-solve {t_level*1e3:7.3f} ms"
         )
 
-    match_fn = jax.jit(functools.partial(match_pyramids, cfg, TUM_FR1))
-    mv = [(pyrs[i], pyrs[i + 1], jnp.eye(4, jnp.float32)) for i in range(reps)]
-    t_match = timed(lambda a, b, c: match_fn(a, b, c).transformation, mv, sync, reps - 1)
+    pyr_b = stack(pyrs)
+
+    def match_of(i, pyr_b):
+        ref = jax.tree.map(lambda x: x[i], pyr_b)
+        cur = jax.tree.map(lambda x: x[(i + 1) % (B + 1)], pyr_b)
+        return match_pyramids(cfg, TUM_FR1, ref, cur, jnp.eye(4, dtype=jnp.float32)).transformation
+
+    t_match = scanned(match_of, 1)(pyr_b)
     print(f"full match (3 levels):            {t_match*1e3:7.3f} ms")
-    print(f"sum of level solves:              {total_iter*1e3:7.3f} ms")
-    print(f"pyramid + match:                  {(t_pyr + t_match)*1e3:7.3f} ms "
-          f"-> {1.0/(t_pyr + t_match):6.1f} fps equivalent")
+    print(f"sum of level solves:              {total_level*1e3:7.3f} ms")
+    fps = 1.0 / (t_pyr + t_match)
+    print(f"pyramid + match:                  {(t_pyr + t_match)*1e3:7.3f} ms -> {fps:6.1f} fps")
 
 
 if __name__ == "__main__":
