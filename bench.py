@@ -41,7 +41,10 @@ def main():
 
     cfg = benchmark_config().tracker
     shape = (480, 640)
-    num_frames = 40
+    # long enough that the sandbox relay's ~34 ms fixed per-execution cost
+    # (measured in tools/bench_sweep.py) is <1% of the run, so the number
+    # reflects the chip; the ATE gate below runs over the same trajectory
+    num_frames = 100
 
     poses = synthetic.circular_trajectory(num_frames, radius=0.05, rot_amplitude=0.02)
 

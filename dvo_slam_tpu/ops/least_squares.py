@@ -55,6 +55,46 @@ def combine(a: NormalEquations, b: NormalEquations) -> NormalEquations:
     )
 
 
+def _cholesky_solve_unrolled(A, b, n: int = 6):
+    """Fully unrolled Cholesky solve for a tiny SPD system.
+
+    ``jnp.linalg.solve`` lowers to an LU custom call that cannot fuse and
+    serializes the TPU inside the IRLS while_loop; for a 6x6 system the
+    unrolled factorization is ~150 scalar ops that XLA fuses into the
+    surrounding iteration for free.  Diagonal pivots are floored so a
+    singular system yields large-but-finite steps (the equilibrated
+    diagonal is ~1, so the floor only engages on rank deficiency).
+    """
+    a = [[A[i, j] for j in range(n)] for i in range(n)]
+    L = [[None] * n for _ in range(n)]
+    tiny = jnp.asarray(1e-20, A.dtype)
+    for j in range(n):
+        s = a[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, tiny))
+        for i in range(j + 1, n):
+            s = a[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / L[j][j]
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def solve_ldlt(A, b):
     """Solve the 6x6 system with symmetric Jacobi pre-scaling.
 
@@ -66,7 +106,7 @@ def solve_ldlt(A, b):
     d_inv = 1.0 / d
     A_s = A * d_inv[:, None] * d_inv[None, :]
     b_s = b * d_inv
-    y = jnp.linalg.solve(A_s, b_s)
+    y = _cholesky_solve_unrolled(A_s, b_s)
     return y * d_inv
 
 

@@ -85,7 +85,10 @@ def tdist_log_likelihood(residuals, precision, mask, dof: float = TDIST_DOF):
     n = mask.sum(dtype=residuals.dtype)
     d2 = mahalanobis_sq(residuals, precision)
     log_terms = jnp.where(mask, jnp.log1p(d2 / dof), 0.0)
-    _, logdet = jnp.linalg.slogdet(precision)
+    # closed-form 2x2 log-determinant: precision is SPD by construction, so
+    # det > 0 — avoids the slogdet LU custom call inside the solver loop
+    det = precision[0, 0] * precision[1, 1] - precision[0, 1] * precision[1, 0]
+    logdet = jnp.log(jnp.maximum(det, jnp.asarray(1e-38, residuals.dtype)))
     return 0.5 * n * logdet - 0.5 * (dof + 2.0) * jnp.sum(log_terms)
 
 
