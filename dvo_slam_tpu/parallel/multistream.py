@@ -1,0 +1,102 @@
+"""Multi-stream dense odometry: many RGB-D camera streams per chip.
+
+The reference tracks ONE camera at ~30 Hz on a desktop CPU
+(dvo_ros/src/camera_dense_tracking.cpp; SURVEY.md section 6's operating
+point).  A TPU chip running a single 640x480 stream is latency-bound:
+the solved pyramid levels (320x240 down to 80x60) are far too small to
+fill the MXU/VPU, so most of the chip idles between while-loop steps.
+
+The TPU-native answer is stream batching — the serving-throughput shape
+of the tracker.  B independent streams advance in lockstep as ONE device
+program: `lax.scan` over time, `vmap` over streams, so every warp/
+residual/Gram-reduction runs on [B, ...] tiles that actually occupy the
+hardware.  With a mesh, the stream axis is additionally DP-sharded over
+chips (the reference's TBB dual-match generalized to N cameras,
+local_tracker.cpp:180-185 -> SURVEY.md 2.5 P2/P7).
+
+Streams are fully independent (no cross-stream collectives); the vmapped
+while-loop runs until every stream's level converges — the lockstep cost
+is bounded by the iteration cap and amortized by warm starts.
+
+Input is camera-native u8 intensity / u16 depth (the real ingest format,
+benchmark_slam.cpp:46-93): frames upload once, pyramids are built on
+device, and only the [B, T-1, 4, 4] trajectories come back.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..config import TrackerConfig
+from ..models.dense_tracker import match_pyramids
+from ..ops.camera import Intrinsics
+from ..ops.pyramid import build_pyramid, convert_raw_depth
+from .mesh import BATCH_AXIS, batch_sharding
+
+
+def _track_streams(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, depth_u16):
+    """[B, T, H, W] u8/u16 -> [B, T-1, 4, 4] absolute poses (pose of frame
+    t+1 in the frame-0 camera, per stream).
+
+    Each stream is the reference's frame-to-frame accumulation loop
+    (camera_dense_tracking.cpp:269-276) with constant-velocity warm
+    starts; `vmap` lifts it to a batch, `lax.scan` walks time on device.
+    """
+
+    def build(int_u8, dep_u16):
+        depth, valid = convert_raw_depth(dep_u16)
+        return build_pyramid(int_u8.astype(jnp.float32), depth, valid, cfg.num_levels)
+
+    matcher = functools.partial(match_pyramids, cfg, intrinsics)
+
+    def step(carry, frames_t):
+        prev_pyr, pose, rel_prev = carry
+        cur_pyr = jax.vmap(build)(frames_t[0], frames_t[1])
+        r = jax.vmap(matcher)(prev_pyr, cur_pyr, rel_prev)
+        pose = pose @ r.transformation
+        return (cur_pyr, pose, r.transformation), pose
+
+    first = jax.vmap(build)(intensity_u8[:, 0], depth_u16[:, 0])
+    B = intensity_u8.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+
+    # scan over time: inputs arranged [T-1, B, H, W]
+    xs = (
+        jnp.swapaxes(intensity_u8[:, 1:], 0, 1),
+        jnp.swapaxes(depth_u16[:, 1:], 0, 1),
+    )
+    (_, _, _), poses_t = jax.lax.scan(step, (first, eye, eye), xs)
+    return jnp.swapaxes(poses_t, 0, 1)  # [B, T-1, 4, 4]
+
+
+def make_multistream_tracker(
+    cfg: TrackerConfig,
+    intrinsics: Intrinsics,
+    mesh: Optional[Mesh] = None,
+    axis: str = BATCH_AXIS,
+):
+    """jit-compiled multi-stream tracker.
+
+    Returns ``run(intensity_u8 [B,T,H,W], depth_u16 [B,T,H,W]) ->
+    poses [B,T-1,4,4]``.  With a mesh, the stream axis is sharded over it
+    (B must be divisible by the mesh size); without one, all B streams
+    batch onto the local device.
+    """
+    fn = jax.jit(functools.partial(_track_streams, cfg, intrinsics))
+
+    if mesh is None:
+        return fn
+
+    shard = batch_sharding(mesh, axis)
+
+    def run(intensity_u8, depth_u16):
+        intensity_u8 = jax.device_put(intensity_u8, shard)
+        depth_u16 = jax.device_put(depth_u16, shard)
+        return fn(intensity_u8, depth_u16)
+
+    return run

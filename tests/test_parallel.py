@@ -144,3 +144,35 @@ def test_distributed_ba_rejects_bad_shard_count():
     except ValueError:
         raised = True
     assert raised
+
+
+def test_multistream_tracker():
+    """B=8 independent streams, vmapped + DP-sharded: each trajectory must
+    match the single-stream tracker on the same frames."""
+    from dvo_slam_tpu.parallel.multistream import make_multistream_tracker
+
+    cfg = TrackerConfig(first_level=1, last_level=0, max_iterations_per_level=15)
+    B, T = 8, 4
+    rng = np.random.default_rng(3)
+    intensity = np.zeros((B, T) + SHAPE, np.uint8)
+    depth = np.zeros((B, T) + SHAPE, np.uint16)
+    gt = np.zeros((B, T, 4, 4))
+    for b in range(B):
+        pose = np.eye(4)
+        step = _exp([0.008 * (b % 3 - 1), 0.004, 0.0, 0.0, 0.0, 0.003 * (b % 2)])
+        for t in range(T):
+            gt[b, t] = pose
+            i_img, d_img, v_img = synthetic.render_frame(pose, K, SHAPE, seed=b)
+            intensity[b, t] = np.clip(i_img, 0, 255).astype(np.uint8)
+            depth[b, t] = np.where(v_img, d_img * 5000.0, 0).astype(np.uint16)
+            pose = pose @ step
+
+    m = mesh_lib.make_mesh(8)
+    run = make_multistream_tracker(cfg, K, m)
+    poses = np.asarray(run(jnp.asarray(intensity), jnp.asarray(depth)), np.float64)
+    assert poses.shape == (B, T - 1, 4, 4)
+    for b in range(B):
+        for t in range(1, T):
+            err = np.abs(np.asarray(se3.log_se3(jnp.asarray(
+                np.linalg.inv(gt[b, t]) @ poses[b, t - 1], jnp.float32))))
+            assert err.max() < 8e-3, f"stream {b} frame {t}: {err}"
