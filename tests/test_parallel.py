@@ -176,3 +176,38 @@ def test_multistream_tracker():
             err = np.abs(np.asarray(se3.log_se3(jnp.asarray(
                 np.linalg.inv(gt[b, t]) @ poses[b, t - 1], jnp.float32))))
             assert err.max() < 8e-3, f"stream {b} frame {t}: {err}"
+
+
+def test_temporal_tracker_matches_sequential():
+    """Sequence-parallel chunked tracking must reproduce the sequential
+    frame-to-frame trajectory (same pairwise alignments, re-anchored)."""
+    from dvo_slam_tpu.parallel.multistream import make_multistream_tracker
+    from dvo_slam_tpu.parallel.temporal import make_temporal_tracker
+
+    cfg = TrackerConfig(first_level=1, last_level=0, max_iterations_per_level=15)
+    T = 9
+    poses = [np.eye(4)]
+    for t in range(1, T):
+        poses.append(poses[-1] @ _exp([0.006, -0.003, 0.0, 0.0, 0.0, 0.004]))
+    intensity = np.zeros((T,) + SHAPE, np.uint8)
+    depth = np.zeros((T,) + SHAPE, np.uint16)
+    for t in range(T):
+        i_img, d_img, v_img = synthetic.render_frame(poses[t], K, SHAPE, seed=5)
+        intensity[t] = np.clip(i_img, 0, 255).astype(np.uint8)
+        depth[t] = np.where(v_img, d_img * 5000.0, 0).astype(np.uint16)
+
+    m = mesh_lib.make_mesh(8)
+    run_seq = make_multistream_tracker(cfg, K)
+    seq = np.asarray(
+        run_seq(jnp.asarray(intensity[None]), jnp.asarray(depth[None]))[0], np.float64
+    )
+    run_par = make_temporal_tracker(cfg, K, m, num_chunks=4)
+    par = run_par(jnp.asarray(intensity), jnp.asarray(depth))
+    assert par.shape == (T - 1, 4, 4)
+    for t in range(T - 1):
+        err = np.abs(np.asarray(se3.log_se3(jnp.asarray(
+            np.linalg.inv(seq[t]) @ par[t], jnp.float32))))
+        assert err.max() < 1e-3, f"frame {t}: {err}"
+        err_gt = np.abs(np.asarray(se3.log_se3(jnp.asarray(
+            np.linalg.inv(poses[t + 1]) @ par[t], jnp.float32))))
+        assert err_gt.max() < 8e-3, f"frame {t} vs gt: {err_gt}"
