@@ -60,7 +60,13 @@ def main():
 
     def build(int_u8, dep_u16):
         depth, valid = convert_raw_depth(dep_u16)
-        return build_pyramid(int_u8.astype(jnp.float32), depth, valid, cfg.num_levels)
+        # skip_below: the 3->1 solve never touches level 0, so its
+        # derivative kernels are skipped and no 640x480 channel rides
+        # the scan carry
+        return build_pyramid(
+            int_u8.astype(jnp.float32), depth, valid, cfg.num_levels,
+            skip_below=cfg.last_level,
+        )
 
     @jax.jit
     def track_sequence(intensity_u8, depth_u16):

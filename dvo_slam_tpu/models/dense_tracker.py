@@ -390,7 +390,7 @@ def match_pyramids(
             f"{len(ref_levels)} ref / {len(cur_levels)} cur levels; build "
             f"pyramids with cfg.num_levels = {cfg.num_levels}"
         )
-    dtype = ref_levels[0].intensity.dtype
+    dtype = ref_levels[cfg.first_level].intensity.dtype
     if initial_transformation is None:
         guess = jnp.eye(4, dtype=dtype)
     else:
@@ -461,5 +461,7 @@ class DenseTracker:
         self, ref_levels, cur_levels, initial_transformation=None
     ) -> TrackingResult:
         if initial_transformation is None:
-            initial_transformation = jnp.eye(4, dtype=ref_levels[0].intensity.dtype)
+            initial_transformation = jnp.eye(
+                4, dtype=ref_levels[self.cfg.first_level].intensity.dtype
+            )
         return self._jitted(ref_levels, cur_levels, initial_transformation)

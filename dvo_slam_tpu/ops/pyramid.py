@@ -136,17 +136,27 @@ def make_level(intensity, depth, valid) -> PyramidLevel:
     )
 
 
-def build_pyramid(intensity, depth, valid, num_levels: int) -> Tuple[PyramidLevel, ...]:
+def build_pyramid(
+    intensity, depth, valid, num_levels: int, skip_below: int = 0
+) -> Tuple[PyramidLevel, ...]:
     """Build a ``num_levels``-deep pyramid from level-0 tensors.
 
     Level sizes halve each level (intensity mean-downsampled, depth
     subsampled), mirroring RgbdImagePyramid::build (rgbd_image.cpp:156-172).
+
+    ``skip_below`` replaces levels finer than the solver's last level with
+    ``None`` (the reference's lazy per-level build, rgbd_image.cpp:156-172,
+    taken to its static conclusion): their derivative/mask kernels are
+    never emitted and — crucially for scanned whole-sequence tracking —
+    the full-resolution channels never enter the loop carry.  A 3->1
+    solve at 640x480 drops level 0 entirely: its tensors exist only as
+    inputs to the level-1 downsample and fuse away.
     """
-    levels = [make_level(intensity, depth, valid)]
-    for _ in range(1, num_levels):
+    levels = [make_level(intensity, depth, valid) if skip_below <= 0 else None]
+    for lvl in range(1, num_levels):
         intensity = downsample_intensity(intensity)
         depth, valid = downsample_depth(depth, valid)
-        levels.append(make_level(intensity, depth, valid))
+        levels.append(make_level(intensity, depth, valid) if lvl >= skip_below else None)
     return tuple(levels)
 
 

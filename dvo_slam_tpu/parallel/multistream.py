@@ -50,7 +50,12 @@ def _track_streams(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, dep
 
     def build(int_u8, dep_u16):
         depth, valid = convert_raw_depth(dep_u16)
-        return build_pyramid(int_u8.astype(jnp.float32), depth, valid, cfg.num_levels)
+        # levels finer than the solved range are skipped: no derivative
+        # kernels for them and nothing full-resolution in the scan carry
+        return build_pyramid(
+            int_u8.astype(jnp.float32), depth, valid, cfg.num_levels,
+            skip_below=cfg.last_level,
+        )
 
     matcher = functools.partial(match_pyramids, cfg, intrinsics)
 

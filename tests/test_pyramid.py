@@ -116,3 +116,34 @@ def test_intrinsics_scaling():
     k1 = k.at_level(1)
     assert k1 == Intrinsics(260.0, 260.5, 160.0, 120.0)
     assert k.at_level(0) == k
+
+
+def test_build_pyramid_skip_below_matches_full():
+    """Skipped fine levels are None; the solved levels are bit-identical
+    to the full build, and the tracker accepts the trimmed pyramid."""
+    import numpy as np
+    from dvo_slam_tpu.config import TrackerConfig
+    from dvo_slam_tpu.models.dense_tracker import match_pyramids
+    from dvo_slam_tpu.ops.camera import Intrinsics
+    from dvo_slam_tpu.utils import synthetic
+
+    K = Intrinsics(80.0, 80.0, 39.5, 29.5)
+    cfg = TrackerConfig(first_level=2, last_level=1, max_iterations_per_level=8)
+    i0, d0, v0 = synthetic.render_frame(np.eye(4), K, (60, 80), seed=0)
+    i1, d1, v1 = synthetic.render_frame(np.eye(4), K, (60, 80), seed=0)
+    args = (jnp.asarray(i0), jnp.asarray(d0), jnp.asarray(v0), cfg.num_levels)
+    full = pyramid.build_pyramid(*args)
+    trimmed = pyramid.build_pyramid(*args, skip_below=cfg.last_level)
+    assert trimmed[0] is None
+    for lvl in range(cfg.last_level, cfg.num_levels):
+        for a, b in zip(full[lvl], trimmed[lvl]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    args1 = (jnp.asarray(i1), jnp.asarray(d1), jnp.asarray(v1), cfg.num_levels)
+    r_full = match_pyramids(cfg, K, full, pyramid.build_pyramid(*args1))
+    r_trim = match_pyramids(
+        cfg, K, trimmed, pyramid.build_pyramid(*args1, skip_below=cfg.last_level)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_full.transformation), np.asarray(r_trim.transformation)
+    )
