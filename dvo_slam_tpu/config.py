@@ -105,6 +105,10 @@ class GraphConfig:
     final_optimization_iterations: int = 5000
     final_optimization_remove_outliers: bool = False
     final_optimization_outlier_weight_threshold: float = 0.0
+    # Extension over the reference: stop the 10-round final schedule once a
+    # pruning round removes nothing.  Off by default — the reference always
+    # runs all 10 rounds (keyframe_graph.cpp:266-281).
+    final_optimization_early_exit: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -390,6 +390,13 @@ def match_pyramids(
             f"{len(ref_levels)} ref / {len(cur_levels)} cur levels; build "
             f"pyramids with cfg.num_levels = {cfg.num_levels}"
         )
+    for level in range(cfg.last_level, cfg.first_level + 1):
+        if ref_levels[level] is None or cur_levels[level] is None:
+            raise ValueError(
+                f"pyramid level {level} is None (built with skip_below > "
+                f"cfg.last_level = {cfg.last_level}?); the solve range "
+                f"{cfg.first_level}->{cfg.last_level} needs every level in it"
+            )
     dtype = ref_levels[cfg.first_level].intensity.dtype
     if initial_transformation is None:
         guess = jnp.eye(4, dtype=dtype)

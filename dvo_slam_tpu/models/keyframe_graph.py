@@ -266,6 +266,8 @@ class KeyframeGraph:
         if self.cfg.final_optimization_use_dense_graph:
             self.graph.set_all_edge_levels(0)
 
+        # The reference always runs the full 10-round schedule
+        # (keyframe_graph.cpp:266-281); early exit is opt-in.
         for _ in range(10):
             self.graph.optimize(
                 max(self.cfg.final_optimization_iterations // 10, 1),
@@ -276,7 +278,7 @@ class KeyframeGraph:
                 removed = self.graph.remove_outlier_edges(
                     self.cfg.final_optimization_outlier_weight_threshold
                 )
-            if removed == 0:
+            if self.cfg.final_optimization_early_exit and removed == 0:
                 break
 
         self._update_keyframe_poses()

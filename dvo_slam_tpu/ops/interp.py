@@ -114,6 +114,62 @@ def bilinear_sample_quad(quad, shape, u, v):
     return values, in_bounds & neighbors_valid
 
 
+def bilinear_with_depth_buffer(intensity, depth, depth_valid, u, v, z_expected):
+    """Depth-buffer-aware bilinear interpolation of an intensity image.
+
+    TPU-native port of Interpolation::bilinearWithDepthBuffer
+    (dvo_core/src/core/interpolation.cpp:55-110; SSE twin
+    rgbd_image_sse.cpp:51-108): a 2x2 neighbor only contributes if its
+    depth is valid and not more than 5 cm in FRONT of the expected depth
+    ``z_expected`` (``depth > z - 0.05``) — so foreground occluders never
+    blend into a background sample at depth discontinuities.  Weights are
+    renormalized over the contributing neighbors; a sample with no
+    contributor is invalid.
+
+    ``intensity``/``depth``/``depth_valid`` are [H, W]; ``u``/``v``/
+    ``z_expected`` are [N].  Returns ``(values [N], valid [N])``.
+    """
+    h, w = intensity.shape
+    in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
+
+    u = jnp.clip(u, 0.0, w - 1.001)
+    v = jnp.clip(v, 0.0, h - 1.001)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    x1w = u - x0
+    y1w = v - y0
+    x0w = 1.0 - x1w
+    y0w = 1.0 - y1w
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    flat_i = intensity.reshape(h * w)
+    flat_z = depth.reshape(h * w)
+    flat_ok = depth_valid.reshape(h * w)
+    z_eps = z_expected - 0.05  # the reference's 5 cm depth buffer
+
+    val = jnp.zeros_like(u)
+    weight_sum = jnp.zeros_like(u)
+    for yi, xi, wgt in (
+        (y0i, x0i, x0w * y0w),
+        (y0i, x1i, x1w * y0w),
+        (y1i, x0i, x0w * y1w),
+        (y1i, x1i, x1w * y1w),
+    ):
+        idx = yi * w + xi
+        contributes = flat_ok[idx] & (flat_z[idx] > z_eps)
+        wgt = jnp.where(contributes, wgt, 0.0)
+        val = val + wgt * flat_i[idx]
+        weight_sum = weight_sum + wgt
+
+    valid = in_bounds & (weight_sum > 0.0)
+    values = jnp.where(valid, val / jnp.maximum(weight_sum, 1e-12), 0.0)
+    return values, valid
+
+
 def bilinear_sample_image(img, u, v):
     """Plain bilinear sampling of a single-channel [H, W] image at (u, v).
 

@@ -23,13 +23,23 @@ from .pyramid import PyramidLevel, build_acceleration
 
 
 def warp_intensity_inverse(
-    ref_depth, ref_valid, cur_level: PyramidLevel, intrinsics: Intrinsics, T
+    ref_depth,
+    ref_valid,
+    cur_level: PyramidLevel,
+    intrinsics: Intrinsics,
+    T,
+    use_depth_buffer: bool = True,
 ):
     """Pull current-frame intensity back into the reference view.
 
     For each reference pixel with valid depth: transform, project, and
     bilinearly sample the current intensity (the reference's inverse warp,
-    rgbd_image.cpp:545-602).  Returns (warped [H, W], valid [H, W]).
+    rgbd_image.cpp:545-602).  By default the sample is depth-buffered
+    against the transformed depth — the SSE warp's
+    interpolateBilinearWithDepthBufferSse (rgbd_image_sse.cpp:51-108):
+    neighbors more than 5 cm in front of the expected depth (foreground
+    occluders) are excluded and the weights renormalized.  Returns
+    (warped [H, W], valid [H, W]).
     """
     h, w = ref_depth.shape
     n = h * w
@@ -40,20 +50,30 @@ def warp_intensity_inverse(
     z = jnp.maximum(p[:, 2], 1e-12)
     u = p[:, 0] / z * intrinsics.fx + intrinsics.ox
     v = p[:, 1] / z * intrinsics.fy + intrinsics.oy
-    accel = build_acceleration(cur_level)
-    sampled, ok = bilinear_sample_accel(accel, u, v)
+    if use_depth_buffer:
+        from .interp import bilinear_with_depth_buffer
+
+        values, ok = bilinear_with_depth_buffer(
+            cur_level.intensity, cur_level.depth, cur_level.valid, u, v, p[:, 2]
+        )
+    else:
+        accel = build_acceleration(cur_level)
+        sampled, ok = bilinear_sample_accel(accel, u, v)
+        values = sampled[:, 0]
     valid = ref_valid.reshape(n) & ok & (p[:, 2] > 1e-12)
-    warped = jnp.where(valid, sampled[:, 0], 0.0)
+    warped = jnp.where(valid, values, 0.0)
     return warped.reshape(h, w), valid.reshape(h, w)
 
 
 def warp_depth_forward(depth, valid, intrinsics: Intrinsics, T):
     """Push reference depth into the target view with a z-buffer.
 
-    Nearest-pixel splatting with min-depth resolution of collisions —
-    the TPU-native (scatter-min) version of warpDepthForwardAdvanced
-    (rgbd_image.cpp:723-781).  Returns (depth [H, W], valid [H, W]) in the
-    target view; unhit pixels are invalid.
+    Nearest-pixel splatting with min-depth resolution of collisions — the
+    simple TPU-native (scatter-min) forward warp, analogous to
+    warpDepthForward's single-pixel write (rgbd_image.cpp:604-652) but
+    writing the transformed z.  For the reference's footprint splat see
+    :func:`warp_depth_forward_advanced`.  Returns (depth [H, W],
+    valid [H, W]) in the target view; unhit pixels are invalid.
     """
     h, w = depth.shape
     n = h * w
@@ -69,6 +89,75 @@ def warp_depth_forward(depth, valid, intrinsics: Intrinsics, T):
     flat_idx = jnp.where(ok, v * w + u, 0)
     big = jnp.asarray(jnp.inf, depth.dtype)
     zbuf = jnp.full(n, big, depth.dtype).at[flat_idx].min(jnp.where(ok, z, big))
+    out_valid = jnp.isfinite(zbuf)
+    return jnp.where(out_valid, zbuf, 0.0).reshape(h, w), out_valid.reshape(h, w)
+
+
+def warp_depth_forward_advanced(
+    depth, valid, intrinsics: Intrinsics, T, max_footprint: int = 4
+):
+    """Footprint-splat forward depth warp — full parity with
+    warpDepthForwardAdvanced (rgbd_image.cpp:723-781).
+
+    Each source pixel projects to the floor pixel of its transformed
+    point and fills an (x_length x y_length) rectangle with scatter-min
+    of the transformed z, where the footprint lengths come from the
+    rotation-induced pixel stretch (the reference's z/x/y "factor" terms
+    incl. its magic +1):
+
+      x_length = ceil(r00 + r01 fx/fy + (-r20 - r21 fx/fy) x/z) + 1
+      y_length = ceil(r11 + r10 fy/fx + (-r21 - r20 fy/fx) y/z) + 1
+
+    TPU-native form: the data-dependent footprint loop becomes a static
+    ``max_footprint``^2 set of scatter-min passes, each masked by the
+    per-pixel footprint length — exact for all footprints up to
+    ``max_footprint`` (>= any realistic inter-frame rotation; the default
+    covers the reference loop for rotations where lengths <= 4).
+    Returns (depth [H, W], valid [H, W]) in the target view.
+    """
+    h, w = depth.shape
+    n = h * w
+    dtype = depth.dtype
+    points = unproject(depth, intrinsics).reshape(n, 3)
+    R = T[:3, :3].astype(dtype)
+    t = T[:3, 3].astype(dtype)
+    p = points @ R.T + t
+    z_t = p[:, 2]
+    z_t_safe = jnp.where(jnp.abs(z_t) > 1e-12, z_t, 1e-12)
+
+    fx_fy = intrinsics.fx / intrinsics.fy
+    fy_fx = intrinsics.fy / intrinsics.fx
+    z_factor1 = R[0, 0] + R[0, 1] * fx_fy
+    x_factor1 = -R[2, 0] - R[2, 1] * fx_fy
+    z_factor2 = R[1, 1] + R[1, 0] * fy_fx
+    y_factor2 = -R[2, 1] - R[2, 0] * fy_fx
+
+    z_src = points[:, 2]
+    z_src_safe = jnp.where(jnp.abs(z_src) > 1e-12, z_src, 1e-12)
+    x_len = jnp.ceil(z_factor1 + x_factor1 * points[:, 0] / z_src_safe) + 1.0
+    y_len = jnp.ceil(z_factor2 + y_factor2 * points[:, 1] / z_src_safe) + 1.0
+
+    u0 = jnp.floor(p[:, 0] / z_t_safe * intrinsics.fx + intrinsics.ox).astype(jnp.int32)
+    v0 = jnp.floor(p[:, 1] / z_t_safe * intrinsics.fy + intrinsics.oy).astype(jnp.int32)
+    src_ok = valid.reshape(n)
+
+    big = jnp.asarray(jnp.inf, dtype)
+    zbuf = jnp.full(n, big, dtype)
+    for dy in range(max_footprint):
+        for dx in range(max_footprint):
+            u = u0 + dx
+            v = v0 + dy
+            ok = (
+                src_ok
+                & (dx < x_len)
+                & (dy < y_len)
+                & (u >= 0)
+                & (u < w)
+                & (v >= 0)
+                & (v < h)
+            )
+            idx = jnp.where(ok, v * w + u, 0)
+            zbuf = zbuf.at[idx].min(jnp.where(ok, z_t, big))
     out_valid = jnp.isfinite(zbuf)
     return jnp.where(out_valid, zbuf, 0.0).reshape(h, w), out_valid.reshape(h, w)
 

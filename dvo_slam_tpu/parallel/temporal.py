@@ -13,9 +13,10 @@ chunk-final transforms.
 This is the SLAM analog of sequence parallelism in ML training
 (SURVEY.md 2.5 P8 notes the reference has none — scaling structure is
 ours to design): throughput scales with devices for offline/batch
-reprocessing, at identical accuracy (every pairwise alignment computed
-is exactly the sequential one; only the warm start differs at chunk
-boundaries, where the constant-velocity prior is unavailable).
+reprocessing, at near-identical accuracy — results match the sequential
+trajectory to solver tolerance (the constant-velocity warm start is
+unavailable at chunk boundaries, and that difference cascades through
+each chunk's subsequent warm starts; see test_parallel.py's 1e-3 gate).
 """
 
 from __future__ import annotations
@@ -34,7 +35,8 @@ from .multistream import make_multistream_tracker
 
 
 def chunk_sequence(intensity_u8, depth_u16, num_chunks: int) -> Tuple:
-    """[T, H, W] -> [C, L+1, H, W] chunks overlapping by one frame.
+    """[T, H, W] -> ([C, L+1, H, W] intensity, depth) chunks overlapping
+    by one frame.
 
     T-1 relative poses split as evenly as static shapes allow; the tail
     chunk is padded by repeating its last frame (self-matches solve to
@@ -45,11 +47,10 @@ def chunk_sequence(intensity_u8, depth_u16, num_chunks: int) -> Tuple:
         raise ValueError("need at least 2 frames")
     rel = t - 1  # relative poses to estimate
     per = -(-rel // num_chunks)  # ceil
-    pad = num_chunks * per - rel
     idx = np.minimum(
         np.arange(num_chunks)[:, None] * per + np.arange(per + 1)[None, :], t - 1
     )  # [C, per+1], clamped repeats at the tail
-    return intensity_u8[idx], depth_u16[idx], per, pad
+    return intensity_u8[idx], depth_u16[idx]
 
 
 def compose_chunks(chunk_abs: np.ndarray, total_rel: int) -> np.ndarray:
@@ -86,18 +87,23 @@ def make_temporal_tracker(
     if num_chunks is None:
         num_chunks = mesh.devices.size if mesh is not None else 1
     if mesh is not None and num_chunks % mesh.devices.size != 0:
-        # shard over the largest divisor of num_chunks that fits the mesh
-        from .mesh import make_mesh
+        # shard over the largest divisor of num_chunks that fits the mesh,
+        # keeping the caller's device selection/ordering
+        import warnings
 
         n = mesh.devices.size
         while num_chunks % n != 0:
             n -= 1
-        mesh = make_mesh(n, axis)
+        warnings.warn(
+            f"num_chunks={num_chunks} not divisible by mesh size "
+            f"{mesh.devices.size}; shrinking to the first {n} mesh devices"
+        )
+        mesh = Mesh(mesh.devices.ravel()[:n], (axis,))
     ms = make_multistream_tracker(cfg, intrinsics, mesh, axis)
 
     def run(intensity_u8, depth_u16):
         t = int(intensity_u8.shape[0])
-        chunks_i, chunks_d, per, _ = chunk_sequence(
+        chunks_i, chunks_d = chunk_sequence(
             np.asarray(intensity_u8), np.asarray(depth_u16), num_chunks
         )
         abs_in_chunk = ms(jnp.asarray(chunks_i), jnp.asarray(chunks_d))

@@ -29,6 +29,7 @@ class Plane(NamedTuple):
     axis_u: np.ndarray  # [3] in-plane texture u axis
     axis_v: np.ndarray  # [3] in-plane texture v axis
     phase: float  # texture phase offset, decorrelates the two planes
+    extent: Tuple[float, float] | None = None  # (half_u, half_v); None = infinite
 
 
 def _texture(u: np.ndarray, v: np.ndarray, phase: float) -> np.ndarray:
@@ -63,6 +64,26 @@ def default_scene() -> List[Plane]:
 
 def _unit(v: np.ndarray) -> np.ndarray:
     return v / np.linalg.norm(v)
+
+
+def occluded_scene() -> List[Plane]:
+    """default_scene plus a finite foreground slab ~1.1 m ahead.
+
+    The slab's silhouette cuts a >1 m depth discontinuity through the
+    image, so warped samples cross occlusion edges: this is the scene that
+    makes the occlusion gate (residuals.py) and the 5 cm depth-buffered
+    interpolation (interpolation.cpp:55-110) observable — the reference's
+    real-world stressor that two infinite planes can never produce.
+    """
+    slab = Plane(
+        point=np.array([0.12, -0.05, 1.1]),
+        normal=_unit(np.array([-0.1, 0.05, -1.0])),
+        axis_u=_unit(np.array([1.0, 0.0, -0.1])),
+        axis_v=_unit(np.array([0.0, 1.0, 0.05])),
+        phase=2.6,
+        extent=(0.28, 0.22),
+    )
+    return default_scene() + [slab]
 
 
 def render_frame(
@@ -103,10 +124,14 @@ def render_frame(
             t = num / denom
         hit = (denom < -1e-9) | (denom > 1e-9)
         hit &= t > 0.05
-        closer = hit & (t < best_depth)
         pts = c + t[..., None] * rays_world
         tex_u = (pts - plane.point) @ plane.axis_u
         tex_v = (pts - plane.point) @ plane.axis_v
+        if plane.extent is not None:
+            hit &= (np.abs(tex_u) <= plane.extent[0]) & (
+                np.abs(tex_v) <= plane.extent[1]
+            )
+        closer = hit & (t < best_depth)
         tex = _texture(tex_u, tex_v, plane.phase)
         intensity = np.where(closer, tex, intensity)
         best_depth = np.where(closer, t, best_depth)

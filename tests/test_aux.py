@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dvo_slam_tpu.config import TrackerConfig
@@ -27,6 +28,7 @@ def _np_frame(tracker, pose, t):
     return tracker.make_frame(i, d, v, t)
 
 
+@pytest.mark.slow
 def test_camera_tracker_accumulates():
     published = []
     ct = CameraTracker(K, CFG, pose_callback=lambda t, p, c: published.append((t, p)))
@@ -98,6 +100,7 @@ def test_timers():
     assert "match" in s and s["match"]["count"] == 1
 
 
+@pytest.mark.slow
 def test_cli_odometry(tmp_path):
     from dvo_slam_tpu.cli.benchmark import main
 
@@ -141,6 +144,7 @@ def test_experiment_metrics():
     assert d1 > 0 and abs(d1 - d2) < 1e-12
 
 
+@pytest.mark.slow
 def test_runtime_reconfiguration():
     import dataclasses
 

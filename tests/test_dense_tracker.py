@@ -29,6 +29,7 @@ def _run(pose_ref, pose_cur, cfg=CFG, init=None, **kw):
     return match_pyramids(cfg, K, ref, cur, init)
 
 
+@pytest.mark.slow
 def test_identity_motion():
     result = _run(np.eye(4), np.eye(4))
     xi = np.asarray(se3.log_se3(result.transformation))
@@ -55,6 +56,7 @@ def test_recover_small_motion(twist):
     assert np.abs(err[3:]).max() < 2e-3, f"rotation error {err}"
 
 
+@pytest.mark.slow
 def test_larger_motion_with_pyramid():
     """A coarser initial offset must still converge through the pyramid."""
     twist = [0.04, 0.02, 0.03, 0.0, 0.0, 0.02]
@@ -65,6 +67,7 @@ def test_larger_motion_with_pyramid():
     assert np.abs(err).max() < 5e-3, f"error {err}"
 
 
+@pytest.mark.slow
 def test_initial_estimate_warm_start():
     twist = [0.05, 0.0, 0.0, 0.0, 0.0, 0.03]
     T_cur = np.asarray(se3.exp_se3(jnp.asarray(twist, dtype=jnp.float64)))
@@ -77,6 +80,7 @@ def test_initial_estimate_warm_start():
     assert np.abs(err).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_robust_to_noise_and_dropout():
     twist = [0.01, 0.0, 0.01, 0.0, 0.0, 0.005]
     T_cur = np.asarray(se3.exp_se3(jnp.asarray(twist, dtype=jnp.float64)))
@@ -92,6 +96,7 @@ def test_robust_to_noise_and_dropout():
     assert np.abs(err).max() < 5e-3, f"error {err}"
 
 
+@pytest.mark.slow
 def test_result_statistics():
     result = _run(np.eye(4), np.eye(4))
     assert len(result.level_stats) == 3  # levels 2, 1, 0
@@ -105,6 +110,7 @@ def test_result_statistics():
     assert np.isfinite(float(result.neg_log_likelihood))
 
 
+@pytest.mark.slow
 def test_tracker_facade_and_jit_cache():
     tracker = DenseTracker(K, CFG)
     i0, d0, v0 = synthetic.render_frame(np.eye(4), K, SHAPE)
@@ -120,6 +126,7 @@ def test_tracker_facade_and_jit_cache():
     assert not bool(r1.is_nan())
 
 
+@pytest.mark.slow
 def test_vmap_batched_matching():
     """Batching over frame pairs: the TPU replacement for the reference's
     tbb::parallel_invoke dual-match (P2/P4 in SURVEY.md section 2.5)."""

@@ -55,6 +55,7 @@ _WORKER = textwrap.dedent(
 @pytest.mark.skipif(
     os.environ.get("DVO_SKIP_MULTIHOST") == "1", reason="multihost disabled"
 )
+@pytest.mark.slow
 def test_two_process_distributed_smoke(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     port = 21357

@@ -2,6 +2,7 @@
 checkpoint/restore, threaded ingestion, and a longer-sequence stress."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dvo_slam_tpu.config import GraphConfig, KeyframeConfig, SlamConfig, TrackerConfig
@@ -45,6 +46,7 @@ def _run(poses, cfg=CFG, use_threading=False, finish=True):
     return kt
 
 
+@pytest.mark.slow
 def test_graph_structure_invariants():
     poses = synthetic.linear_trajectory(12, np.array([0.015, 0, 0]), np.zeros(3))
     kt = _run(poses)
@@ -71,6 +73,7 @@ def test_graph_structure_invariants():
     assert len(np.unique(stamps)) == len(poses)
 
 
+@pytest.mark.slow
 def test_edge_levels_before_final():
     poses = synthetic.linear_trajectory(10, np.array([0.015, 0, 0]), np.zeros(3))
     kt = _run(poses, finish=False)
@@ -80,6 +83,7 @@ def test_edge_levels_before_final():
     assert (levels == 0).any()  # promoted keyframe edges
 
 
+@pytest.mark.slow
 def test_keyframe_graph_checkpoint_roundtrip(tmp_path):
     poses = synthetic.circular_trajectory(14, radius=0.05)
     kt = _run(poses)
@@ -100,6 +104,7 @@ def test_keyframe_graph_checkpoint_roundtrip(tmp_path):
     restored.graph.optimize(iterations=5, max_level=2)
 
 
+@pytest.mark.slow
 def test_threaded_backend_matches_synchronous():
     poses = synthetic.linear_trajectory(10, np.array([0.015, 0, 0]), np.zeros(3))
     kt_sync = _run(poses, use_threading=False, finish=False)
@@ -109,6 +114,7 @@ def test_threaded_backend_matches_synchronous():
     kt_thr.graph.shutdown()
 
 
+@pytest.mark.slow
 def test_long_sequence_capacity_growth():
     """Enough keyframes/edges to cross PoseGraph capacity doublings."""
     poses = synthetic.circular_trajectory(40, radius=0.12, rot_amplitude=0.04)

@@ -120,6 +120,7 @@ def test_pallas_interpret_matches_xla_twin():
     )
 
 
+@pytest.mark.slow
 def test_fused_match_recovers_motion():
     """End-to-end: the fused backend must track as well as the oracle."""
     import dataclasses

@@ -1,6 +1,7 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -69,6 +70,7 @@ def test_distributed_ba_matches_single_device():
     assert err < 0.01
 
 
+@pytest.mark.slow
 def test_pair_parallel_matcher():
     """8 frame pairs sharded over 8 devices, results match ground truth."""
     cfg = TrackerConfig(first_level=1, last_level=0, max_iterations_per_level=20)
@@ -99,6 +101,7 @@ def test_pair_parallel_matcher():
         assert err.max() < 5e-3, f"pair {i}: {err}"
 
 
+@pytest.mark.slow
 def test_pixel_sharded_matcher():
     """One alignment sharded over pixels across 8 devices must agree with
     the single-device solver."""
@@ -146,6 +149,7 @@ def test_distributed_ba_rejects_bad_shard_count():
     assert raised
 
 
+@pytest.mark.slow
 def test_multistream_tracker():
     """B=8 independent streams, vmapped + DP-sharded: each trajectory must
     match the single-stream tracker on the same frames."""
@@ -178,6 +182,7 @@ def test_multistream_tracker():
             assert err.max() < 8e-3, f"stream {b} frame {t}: {err}"
 
 
+@pytest.mark.slow
 def test_temporal_tracker_matches_sequential():
     """Sequence-parallel chunked tracking must reproduce the sequential
     frame-to-frame trajectory (same pairwise alignments, re-anchored)."""

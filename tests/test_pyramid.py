@@ -2,6 +2,7 @@
 reference, SURVEY.md section 4.3)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dvo_slam_tpu.ops import pyramid
@@ -118,6 +119,7 @@ def test_intrinsics_scaling():
     assert k.at_level(0) == k
 
 
+@pytest.mark.slow
 def test_build_pyramid_skip_below_matches_full():
     """Skipped fine levels are None; the solved levels are bit-identical
     to the full build, and the tracker accepts the trimmed pyramid."""

@@ -101,6 +101,54 @@ def _run_slam(poses, fps=30.0, cfg=SLAM_CFG, finish=True):
     return kt, np.asarray(est)
 
 
+def test_slam_smoke_tiny():
+    """Fast-tier end-to-end SLAM loop at tiny resolution: keyframes,
+    loop closure search, final optimization, trajectory export — the
+    smoke test that keeps `pytest -m "not slow"` covering L3+L4."""
+    k_tiny = Intrinsics(40.0, 40.0, 19.5, 14.5)
+    shape = (30, 40)
+    cfg = SlamConfig(
+        tracker=TrackerConfig(
+            first_level=1,
+            last_level=0,
+            max_iterations_per_level=15,
+            precision=1e-4,
+            use_initial_estimate=True,
+        ),
+        keyframe=KeyframeConfig(
+            max_translational_distance=0.05,
+            min_entropy_ratio=0.5,
+            min_equation_system_constraint_ratio=0.1,
+        ),
+        graph=GraphConfig(
+            new_constraint_search_radius=5.0,
+            new_constraint_min_entropy_ratio_coarse=0.03,
+            new_constraint_min_entropy_ratio_fine=0.3,
+            min_equation_system_constraint_ratio=0.1,
+            optimization_iterations=10,
+            final_optimization_iterations=20,
+        ),
+    )
+    poses = synthetic.circular_trajectory(8, radius=0.04, rot_amplitude=0.02)
+    kt = KeyframeTracker(k_tiny, cfg)
+    kt.init()
+    est = []
+    for i, pose in enumerate(poses):
+        intensity, depth, valid = synthetic.render_frame(
+            pose, k_tiny, shape, seed=i
+        )
+        f = Frame.from_arrays(intensity, depth, valid, i / 30.0, cfg.tracker.num_levels)
+        est.append(np.asarray(kt.update(f), np.float64))
+    kt.force_keyframe()
+    kt.finish()
+    stamps = np.arange(len(poses)) / 30.0
+    ate = trajectory.ate_rmse(stamps, np.asarray(est), stamps, poses)
+    assert np.isfinite(ate) and ate < 0.05, f"tiny SLAM ATE {ate}"
+    g_stamps, g_poses = kt.trajectory()
+    assert len(g_stamps) == len(poses)
+
+
+@pytest.mark.slow
 def test_keyframe_switching_linear_path():
     """A steadily translating camera must spawn multiple keyframes and
     track with low drift."""
@@ -114,6 +162,7 @@ def test_keyframe_switching_linear_path():
     assert err < 0.02, f"terminal drift {err}"
 
 
+@pytest.mark.slow
 def test_full_slam_loop_trajectory():
     """Full pipeline on a closed loop: keyframes + loop closures + final
     optimization; gate on ATE vs exact ground truth."""
@@ -136,6 +185,7 @@ def test_full_slam_loop_trajectory():
     assert int(g.robust[: g.num_edges].sum()) > 0
 
 
+@pytest.mark.slow
 def test_forced_keyframe():
     poses = synthetic.linear_trajectory(6, np.array([0.005, 0, 0]), np.zeros(3))
     kt = KeyframeTracker(K, SLAM_CFG)
@@ -148,6 +198,7 @@ def test_forced_keyframe():
     assert len(kt.graph.keyframes) == n_before + 1
 
 
+@pytest.mark.slow
 def test_divergence_reset():
     """Feeding a frame with no overlap must not produce a wild pose — the
     divergence criterion resets odometry to identity."""
@@ -163,6 +214,7 @@ def test_divergence_reset():
     assert np.linalg.norm(pose[:3, 3]) < 1.0  # no teleport
 
 
+@pytest.mark.slow
 def test_initial_transformation_offset():
     """init(T0) must anchor the whole trajectory at T0."""
     T0 = np.asarray(se3.exp_se3(jnp.asarray([0.5, -0.2, 0.1, 0.0, 0.0, 0.3])))
