@@ -70,6 +70,20 @@ class LevelStats(NamedTuple):
     termination: jnp.ndarray
 
 
+class IterationStats(NamedTuple):
+    """Per-iteration solver telemetry, one [max_iterations, ...] row per
+    executed iteration (reference: IterationStats, dense_tracking.h:83-95).
+    Rows past ``LevelStats.iterations`` are zero.  Only populated when
+    ``match_pyramids(..., collect_iteration_stats=True)``.
+    """
+
+    valid_constraints: jnp.ndarray  # [I]
+    log_likelihood: jnp.ndarray  # [I] t-distribution LL of the iteration
+    precision: jnp.ndarray  # [I, 2, 2] estimated t-dist precision
+    increment: jnp.ndarray  # [I, 6] solved increment (next step)
+    information: jnp.ndarray  # [I, 6, 6] normal-equation A
+
+
 class TrackingResult(NamedTuple):
     """Result of one dense alignment
     (reference: DenseTracker::Result, dense_tracking.h:42-81).
@@ -78,13 +92,16 @@ class TrackingResult(NamedTuple):
     frame (the inverse of the warp estimate, dense_tracking.cpp:371).
     ``neg_log_likelihood`` follows the reference's Result.LogLikelihood
     semantics: it is the *negative* t-distribution log-likelihood plus the
-    prior term — lower is better.
+    prior term — lower is better.  ``iteration_stats`` carries the full
+    per-iteration debug telemetry (one IterationStats per solved level,
+    coarse first) when requested, else an empty tuple.
     """
 
     transformation: jnp.ndarray  # [4, 4]
     information: jnp.ndarray  # [6, 6]
     neg_log_likelihood: jnp.ndarray  # []
     level_stats: Tuple[LevelStats, ...]
+    iteration_stats: Tuple[IterationStats, ...] = ()
 
     @property
     def last_level(self) -> LevelStats:
@@ -217,6 +234,7 @@ def _match_level(
     T0,
     initial0,
     precision0,
+    collect_stats: bool = False,
 ):
     """Run the IRLS Gauss-Newton iteration on one pyramid level."""
     dtype = ref_level.intensity.dtype
@@ -281,7 +299,7 @@ def _match_level(
 
     evaluate = evaluate_xla if backend == "xla" else evaluate_fused
 
-    def body(c: _Carry) -> _Carry:
+    def step(c: _Carry):
         inc = se3.exp_se3(c.x)
         T_new = inc @ c.T
         initial_new = se3.inverse(inc) @ c.initial
@@ -327,7 +345,7 @@ def _match_level(
         # On reject, keep the previous estimate (the Revertable rollback) and
         # the previous accepted statistics; the loop then stops.
         keep = lambda new, old: jnp.where(reject, old, new)
-        return _Carry(
+        new_c = _Carry(
             x=keep(x_new, c.x),
             T=keep(T_new, c.T),
             initial=keep(initial_new, c.initial),
@@ -341,6 +359,17 @@ def _match_level(
             termination=termination,
             done=reject | converged | exceeded,
         )
+        # Per-iteration telemetry of the iteration as executed (pre-revert),
+        # matching the reference's per-iteration IterationStats record
+        # (dense_tracking.cpp:286-355 pushes one entry per loop pass).
+        row = IterationStats(
+            valid_constraints=n.astype(dtype),
+            log_likelihood=ll,
+            precision=precision_new,
+            increment=x_new,
+            information=A,
+        )
+        return new_c, row
 
     init = _Carry(
         x=x0,
@@ -356,14 +385,35 @@ def _match_level(
         termination=jnp.asarray(TERM_NONE, jnp.int32),
         done=jnp.asarray(False),
     )
-    final = jax.lax.while_loop(lambda c: ~c.done, body, init)
+    if collect_stats:
+        max_it = cfg.max_iterations_per_level
+        trace0 = IterationStats(
+            valid_constraints=jnp.zeros(max_it, dtype),
+            log_likelihood=jnp.zeros(max_it, dtype),
+            precision=jnp.zeros((max_it, 2, 2), dtype),
+            increment=jnp.zeros((max_it, 6), dtype),
+            information=jnp.zeros((max_it, 6, 6), dtype),
+        )
+
+        def body_traced(ct):
+            c, tr = ct
+            new_c, row = step(c)
+            tr = jax.tree.map(lambda buf, r: buf.at[c.iteration].set(r), tr, row)
+            return new_c, tr
+
+        final, trace = jax.lax.while_loop(
+            lambda ct: ~ct[0].done, body_traced, (init, trace0)
+        )
+    else:
+        final = jax.lax.while_loop(lambda c: ~c.done, lambda c: step(c)[0], init)
+        trace = None
     stats = LevelStats(
         valid_pixels=sel_mask.sum(dtype=jnp.int32),
         valid_constraints=final.n,
         iterations=final.iteration,
         termination=final.termination,
     )
-    return final, stats
+    return final, stats, trace
 
 
 def match_pyramids(
@@ -372,6 +422,7 @@ def match_pyramids(
     ref_levels: Sequence[PyramidLevel],
     cur_levels: Sequence[PyramidLevel],
     initial_transformation=None,
+    collect_iteration_stats: bool = False,
 ) -> TrackingResult:
     """Align a current frame against a reference frame.
 
@@ -410,6 +461,7 @@ def match_pyramids(
     precision = jnp.eye(2, dtype=dtype)
 
     level_stats = []
+    iteration_stats = []
     final = None
     for level in range(cfg.first_level, cfg.last_level - 1, -1):
         ref_level = ref_levels[level]
@@ -421,10 +473,13 @@ def match_pyramids(
             cfg.depth_derivative_threshold,
         )
         accel = build_acceleration(cur_level)
-        final, stats = _match_level(
-            cfg, k_level, ref_level, sel, accel, x, T, initial, precision
+        final, stats, trace = _match_level(
+            cfg, k_level, ref_level, sel, accel, x, T, initial, precision,
+            collect_stats=collect_iteration_stats,
         )
         level_stats.append(stats)
+        if collect_iteration_stats:
+            iteration_stats.append(trace)
         # Next level starts from the last *applied* increment, matching the
         # reference's `x = inc.log()` at level entry (dense_tracking.cpp:241).
         x = se3.log_se3(final.inc_applied)
@@ -441,6 +496,7 @@ def match_pyramids(
         information=final.A * INFORMATION_SCALE,
         neg_log_likelihood=-final.ll + prior,
         level_stats=tuple(level_stats),
+        iteration_stats=tuple(iteration_stats),
     )
 
 

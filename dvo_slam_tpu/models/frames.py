@@ -64,7 +64,7 @@ def stack_frames(frames: Sequence[Frame]) -> Tuple[PyramidLevel, ...]:
 
 
 class HostLevelStats(NamedTuple):
-    """Host-side copy of the last pyramid level's statistics."""
+    """Host-side copy of one pyramid level's statistics."""
 
     valid_pixels: int
     valid_constraints: int
@@ -76,33 +76,46 @@ class HostTrackingResult(NamedTuple):
     """Host-side tracking result, decoded from ONE flat device download.
 
     Mirrors TrackingResult's interface (transformation/information/
-    neg_log_likelihood/last_level) with NumPy fields so the keyframe
+    neg_log_likelihood/level_stats) with NumPy fields so the keyframe
     policy, voters, and graph insertion never touch the device again.
+    ``level_stats`` covers EVERY solved level, coarse first, matching the
+    reference's Stats::Levels (dense_tracking.h:108-123) — coarse-level
+    termination reasons survive to the host.
     """
 
     transformation: np.ndarray  # [4, 4]
     information: np.ndarray  # [6, 6]
     neg_log_likelihood: float
-    last_level: HostLevelStats
+    level_stats: Tuple[HostLevelStats, ...]  # coarse -> fine
+
+    @property
+    def last_level(self) -> HostLevelStats:
+        """Finest solved level (the reference's Levels.back(),
+        keyframe_tracker.cpp:165-168)."""
+        return self.level_stats[-1]
 
     def is_nan(self) -> bool:
         return bool(np.isnan(self.transformation).any())
 
 
-# flat layout: 16 (T) + 36 (info) + 1 (nll) + 4 (last-level stats) = 57
-_FLAT_WIDTH = 57
+# flat layout: 16 (T) + 36 (info) + 1 (nll) + 4 per solved level
+_FLAT_BASE = 53
 
 
 def _flatten_result(r: TrackingResult):
-    last = r.level_stats[-1]
     stats = jnp.stack(
         [
-            last.valid_pixels.astype(jnp.float32),
-            last.valid_constraints.astype(jnp.float32),
-            last.iterations.astype(jnp.float32),
-            last.termination.astype(jnp.float32),
+            jnp.stack(
+                [
+                    s.valid_pixels.astype(jnp.float32),
+                    s.valid_constraints.astype(jnp.float32),
+                    s.iterations.astype(jnp.float32),
+                    s.termination.astype(jnp.float32),
+                ]
+            )
+            for s in r.level_stats
         ]
-    )
+    ).reshape(-1)
     return jnp.concatenate(
         [
             r.transformation.reshape(16),
@@ -114,16 +127,21 @@ def _flatten_result(r: TrackingResult):
 
 
 def _decode_result(flat: np.ndarray) -> HostTrackingResult:
+    n_levels = (flat.shape[0] - _FLAT_BASE) // 4
+    levels = tuple(
+        HostLevelStats(
+            valid_pixels=int(flat[_FLAT_BASE + 4 * i]),
+            valid_constraints=int(flat[_FLAT_BASE + 4 * i + 1]),
+            iterations=int(flat[_FLAT_BASE + 4 * i + 2]),
+            termination=int(flat[_FLAT_BASE + 4 * i + 3]),
+        )
+        for i in range(n_levels)
+    )
     return HostTrackingResult(
         transformation=flat[:16].reshape(4, 4).astype(np.float64),
         information=flat[16:52].reshape(6, 6).astype(np.float64),
         neg_log_likelihood=float(flat[52]),
-        last_level=HostLevelStats(
-            valid_pixels=int(flat[53]),
-            valid_constraints=int(flat[54]),
-            iterations=int(flat[55]),
-            termination=int(flat[56]),
-        ),
+        level_stats=levels,
     )
 
 

@@ -155,3 +155,61 @@ def test_vmap_batched_matching():
         est = np.asarray(results.transformation[i], np.float64)
         err = np.asarray(se3.log_se3(jnp.asarray(np.linalg.inv(gt) @ est)))
         assert np.abs(err).max() < 5e-3, f"pair {i} error {err}"
+
+
+def test_all_level_stats_reach_host():
+    """Every solved level's stats (incl. coarse-level termination reasons)
+    must survive the flat host download (dense_tracking.h:108-123)."""
+    from dvo_slam_tpu.models.frames import BatchedMatcher, Frame
+    from dvo_slam_tpu.models.dense_tracker import (
+        TERM_INCREMENT_TOO_SMALL,
+        TERM_ITERATIONS_EXCEEDED,
+        TERM_LOG_LIKELIHOOD_DECREASED,
+        TERM_TOO_FEW_CONSTRAINTS,
+    )
+
+    cfg = TrackerConfig(first_level=2, last_level=0, max_iterations_per_level=10)
+    m = BatchedMatcher(cfg, K)
+    i0, d0, v0 = synthetic.render_frame(np.eye(4), K, SHAPE, seed=0)
+    T = np.asarray(se3.exp_se3(jnp.asarray([0.01, 0.0, 0.0, 0.0, 0.0, 0.01])))
+    i1, d1, v1 = synthetic.render_frame(T, K, SHAPE, seed=1)
+    ref = Frame.from_arrays(i0, d0, v0, 0.0, cfg.num_levels)
+    cur = Frame.from_arrays(i1, d1, v1, 1 / 30, cfg.num_levels)
+    r = m.match(ref, cur)
+    assert len(r.level_stats) == cfg.first_level - cfg.last_level + 1
+    assert r.last_level == r.level_stats[-1]
+    valid_terms = {
+        TERM_INCREMENT_TOO_SMALL,
+        TERM_ITERATIONS_EXCEEDED,
+        TERM_LOG_LIKELIHOOD_DECREASED,
+        TERM_TOO_FEW_CONSTRAINTS,
+    }
+    for s in r.level_stats:  # coarse levels included, each actually solved
+        assert s.iterations >= 1
+        assert s.termination in valid_terms
+        assert s.valid_constraints > 0
+    # coarse level has ~1/16 the pixels of the fine level
+    assert r.level_stats[0].valid_pixels < r.level_stats[-1].valid_pixels
+
+
+def test_iteration_stats_trace():
+    """collect_iteration_stats=True surfaces the reference's per-iteration
+    IterationStats telemetry (dense_tracking.h:83-95)."""
+    cfg = TrackerConfig(first_level=2, last_level=1, max_iterations_per_level=12)
+    ref = _pyramid(np.eye(4), cfg, seed=0)
+    T = np.asarray(se3.exp_se3(jnp.asarray([0.01, 0.0, 0.005, 0.0, 0.0, 0.01])))
+    cur = _pyramid(T, cfg, seed=1)
+    r = match_pyramids(cfg, K, ref, cur, None, collect_iteration_stats=True)
+    assert len(r.iteration_stats) == 2  # one trace per solved level
+    for trace, stats in zip(r.iteration_stats, r.level_stats):
+        its = int(np.asarray(stats.iterations))
+        assert trace.increment.shape == (cfg.max_iterations_per_level, 6)
+        assert trace.information.shape == (cfg.max_iterations_per_level, 6, 6)
+        n_rows = np.asarray(trace.valid_constraints)
+        assert (n_rows[:its] > 0).all()  # executed iterations recorded
+        assert (n_rows[its:] == 0).all()  # unexecuted rows stay zero
+        # the recorded constraint count of the last iteration matches stats
+        assert int(n_rows[its - 1]) == int(np.asarray(stats.valid_constraints))
+    # default path stays trace-free
+    r2 = match_pyramids(cfg, K, ref, cur, None)
+    assert r2.iteration_stats == ()

@@ -124,3 +124,31 @@ def test_long_sequence_capacity_growth():
     gt_stamps = np.arange(40) / 30.0
     ate = trajectory.ate_rmse(stamps, est, gt_stamps, poses)
     assert ate < 0.01, ate
+
+
+def test_final_optimization_runs_full_schedule():
+    """The reference always runs 10 optimize rounds in finalOptimization
+    (keyframe_graph.cpp:266-281), even with outlier removal off; early
+    exit must be opt-in."""
+    from dvo_slam_tpu.models.keyframe_graph import KeyframeGraph
+
+    k = Intrinsics(40.0, 40.0, 19.5, 14.5)
+
+    def count_rounds(graph_cfg):
+        kg = KeyframeGraph(k, graph_cfg, TrackerConfig(first_level=1, last_level=0))
+        calls = []
+        orig = kg.graph.optimize
+        kg.graph.optimize = lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1]
+        kg.final_optimization()
+        return len(calls)
+
+    assert count_rounds(GraphConfig(final_optimization_remove_outliers=False)) == 10
+    assert (
+        count_rounds(
+            GraphConfig(
+                final_optimization_remove_outliers=False,
+                final_optimization_early_exit=True,
+            )
+        )
+        == 1
+    )
