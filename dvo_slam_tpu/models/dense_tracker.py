@@ -235,16 +235,19 @@ def _match_level(
     initial0,
     precision0,
     collect_stats: bool = False,
+    refpack=None,
+    quad=None,
 ):
-    """Run the IRLS Gauss-Newton iteration on one pyramid level."""
+    """Run the IRLS Gauss-Newton iteration on one pyramid level.
+
+    ``refpack``/``quad`` are the per-level cached artifacts of the fused
+    path (see :func:`prepare_frame`); computed on the fly when absent.
+    """
     dtype = ref_level.intensity.dtype
     backend = _resolve_backend(cfg)
     dof = cfg.influence_function_param
-    refpack = (
-        _build_refpack(ref_level, sel_mask, intrinsics)
-        if backend in ("fused", "pallas")
-        else None
-    )
+    if backend in ("fused", "pallas") and refpack is None:
+        refpack = _build_refpack(ref_level, sel_mask, intrinsics)
 
     def evaluate_xla(T, P_prev, first):
         """Modular oracle path (one op per reference kernel)."""
@@ -266,12 +269,10 @@ def _match_level(
         A, b = normal_equations(rd, weights, precision_new)
         return n, precision_new, ll, A, b
 
-    if backend in ("fused", "pallas"):
+    if backend in ("fused", "pallas") and quad is None:
         from ..ops.interp import build_quad_table
 
         quad = build_quad_table(cur_accel)  # loop-invariant, built per level
-    else:
-        quad = None
 
     def evaluate_fused(T, P_prev, first):
         """Single-pass fused path (Pallas on TPU, XLA twin elsewhere)."""
@@ -416,39 +417,78 @@ def _match_level(
     return final, stats, trace
 
 
-def match_pyramids(
+class PreparedFrame(NamedTuple):
+    """Per-frame cached solver artifacts, one entry per pyramid level
+    (``None`` outside the solve range).
+
+    The reference caches exactly these across match calls: PointSelection
+    per keyframe (point_selection.cpp:89-117), the acceleration structure
+    per frame (local_tracker.cpp:162-169).  ``sel``/``refpack`` serve the
+    frame's REFERENCE role, ``accel``/``quad`` its CURRENT role; a frame
+    prepared once serves both (cur this update, ref the next — and a
+    keyframe's ref artifacts live for its whole lifetime).
+    """
+
+    levels: Tuple[Optional[PyramidLevel], ...]
+    sel: Tuple[Optional[jnp.ndarray], ...]
+    refpack: Tuple[Optional[jnp.ndarray], ...]
+    accel: Tuple[Optional[jnp.ndarray], ...]
+    quad: Tuple[Optional[jnp.ndarray], ...]
+
+
+def prepare_frame(
     cfg: TrackerConfig,
     intrinsics: Intrinsics,
-    ref_levels: Sequence[PyramidLevel],
-    cur_levels: Sequence[PyramidLevel],
+    levels: Sequence[PyramidLevel],
+) -> PreparedFrame:
+    """Precompute both roles' per-level artifacts for the solve range."""
+    backend = _resolve_backend(cfg)
+    fused = backend in ("fused", "pallas")
+    if fused:
+        from ..ops.interp import build_quad_table
+
+    n = len(levels)
+    sel = [None] * n
+    refpack = [None] * n
+    accel = [None] * n
+    quad = [None] * n
+    out_levels = [None] * n
+    for level in range(cfg.last_level, cfg.first_level + 1):
+        lv = levels[level]
+        out_levels[level] = lv
+        sel[level] = selection_mask(
+            lv,
+            cfg.intensity_derivative_threshold,
+            cfg.depth_derivative_threshold,
+        )
+        accel[level] = build_acceleration(lv)
+        if fused:
+            refpack[level] = _build_refpack(lv, sel[level], intrinsics.at_level(level))
+            quad[level] = build_quad_table(accel[level])
+    return PreparedFrame(
+        levels=tuple(out_levels),
+        sel=tuple(sel),
+        refpack=tuple(refpack),
+        accel=tuple(accel),
+        quad=tuple(quad),
+    )
+
+
+def match_prepared(
+    cfg: TrackerConfig,
+    intrinsics: Intrinsics,
+    ref: PreparedFrame,
+    cur: PreparedFrame,
     initial_transformation=None,
     collect_iteration_stats: bool = False,
 ) -> TrackingResult:
-    """Align a current frame against a reference frame.
-
-    Pure function of its array arguments: jit it with (cfg, intrinsics)
-    static, or vmap it over a leading batch dimension for the dual
-    keyframe/odometry match and loop-closure proposal waves.
-
-    ``initial_transformation`` follows the reference convention: it is the
-    result-space pose guess (current-in-reference); internally the warp
-    estimate is its inverse, applied as the first increment
-    (dense_tracking.cpp:146-149 — "our first increment is the given guess").
+    """Align two PREPARED frames — the cached-artifact core of
+    :func:`match_pyramids` (which prepares on the fly).  Use this with
+    :func:`prepare_frame` to amortize per-keyframe selection/refpack and
+    per-frame acceleration/quad-table builds across match calls, as the
+    reference does (point_selection.cpp:89-117, local_tracker.cpp:162-169).
     """
-    if len(ref_levels) <= cfg.first_level or len(cur_levels) <= cfg.first_level:
-        raise ValueError(
-            f"config needs pyramid levels up to {cfg.first_level} but got "
-            f"{len(ref_levels)} ref / {len(cur_levels)} cur levels; build "
-            f"pyramids with cfg.num_levels = {cfg.num_levels}"
-        )
-    for level in range(cfg.last_level, cfg.first_level + 1):
-        if ref_levels[level] is None or cur_levels[level] is None:
-            raise ValueError(
-                f"pyramid level {level} is None (built with skip_below > "
-                f"cfg.last_level = {cfg.last_level}?); the solve range "
-                f"{cfg.first_level}->{cfg.last_level} needs every level in it"
-            )
-    dtype = ref_levels[cfg.first_level].intensity.dtype
+    dtype = ref.levels[cfg.first_level].intensity.dtype
     if initial_transformation is None:
         guess = jnp.eye(4, dtype=dtype)
     else:
@@ -464,18 +504,20 @@ def match_pyramids(
     iteration_stats = []
     final = None
     for level in range(cfg.first_level, cfg.last_level - 1, -1):
-        ref_level = ref_levels[level]
-        cur_level = cur_levels[level]
         k_level = intrinsics.at_level(level)
-        sel = selection_mask(
-            ref_level,
-            cfg.intensity_derivative_threshold,
-            cfg.depth_derivative_threshold,
-        )
-        accel = build_acceleration(cur_level)
         final, stats, trace = _match_level(
-            cfg, k_level, ref_level, sel, accel, x, T, initial, precision,
+            cfg,
+            k_level,
+            ref.levels[level],
+            ref.sel[level],
+            cur.accel[level],
+            x,
+            T,
+            initial,
+            precision,
             collect_stats=collect_iteration_stats,
+            refpack=ref.refpack[level],
+            quad=cur.quad[level],
         )
         level_stats.append(stats)
         if collect_iteration_stats:
@@ -497,6 +539,52 @@ def match_pyramids(
         neg_log_likelihood=-final.ll + prior,
         level_stats=tuple(level_stats),
         iteration_stats=tuple(iteration_stats),
+    )
+
+
+def match_pyramids(
+    cfg: TrackerConfig,
+    intrinsics: Intrinsics,
+    ref_levels: Sequence[PyramidLevel],
+    cur_levels: Sequence[PyramidLevel],
+    initial_transformation=None,
+    collect_iteration_stats: bool = False,
+) -> TrackingResult:
+    """Align a current frame against a reference frame.
+
+    Pure function of its array arguments: jit it with (cfg, intrinsics)
+    static, or vmap it over a leading batch dimension for the dual
+    keyframe/odometry match and loop-closure proposal waves.  Prepares the
+    per-level artifacts inline (see :func:`prepare_frame` /
+    :func:`match_prepared` for the cached form the SLAM front end uses).
+
+    ``initial_transformation`` follows the reference convention: it is the
+    result-space pose guess (current-in-reference); internally the warp
+    estimate is its inverse, applied as the first increment
+    (dense_tracking.cpp:146-149 — "our first increment is the given guess").
+    """
+    if len(ref_levels) <= cfg.first_level or len(cur_levels) <= cfg.first_level:
+        raise ValueError(
+            f"config needs pyramid levels up to {cfg.first_level} but got "
+            f"{len(ref_levels)} ref / {len(cur_levels)} cur levels; build "
+            f"pyramids with cfg.num_levels = {cfg.num_levels}"
+        )
+    for level in range(cfg.last_level, cfg.first_level + 1):
+        if ref_levels[level] is None or cur_levels[level] is None:
+            raise ValueError(
+                f"pyramid level {level} is None (built with skip_below > "
+                f"cfg.last_level = {cfg.last_level}?); the solve range "
+                f"{cfg.first_level}->{cfg.last_level} needs every level in it"
+            )
+    ref = prepare_frame(cfg, intrinsics, ref_levels)
+    cur = prepare_frame(cfg, intrinsics, cur_levels)
+    return match_prepared(
+        cfg,
+        intrinsics,
+        ref,
+        cur,
+        initial_transformation,
+        collect_iteration_stats=collect_iteration_stats,
     )
 
 

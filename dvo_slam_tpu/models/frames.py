@@ -21,7 +21,13 @@ import numpy as np
 from ..config import TrackerConfig
 from ..ops.camera import Intrinsics
 from ..ops.pyramid import PyramidLevel, build_pyramid
-from .dense_tracker import TrackingResult, match_pyramids
+from .dense_tracker import (
+    PreparedFrame,
+    TrackingResult,
+    match_prepared,
+    match_pyramids,
+    prepare_frame,
+)
 
 
 @dataclass
@@ -146,24 +152,55 @@ def _decode_result(flat: np.ndarray) -> HostTrackingResult:
 
 
 class BatchedMatcher:
-    """Batched dense alignment with per-(config, batch-size) jit caching.
+    """Batched dense alignment with per-(config, batch-size) jit caching
+    and per-frame prepared-artifact caching.
 
     ``match_many([(ref, cur, init), ...])`` pads the request list to the
     next power-of-two bucket, runs one vmapped solve, and downloads ONE
-    flat [B, 57] result array (a single host<->device round trip per wave
+    flat [B, F] result array (a single host<->device round trip per wave
     — the policy/voting code is pure host logic).  This is the single
     engine behind the dual keyframe/odometry match (batch 2) and
     loop-closure validation waves (batch K).
+
+    Frames are PREPARED once (selection mask, refpack, acceleration
+    tensor, quad table per level — prepare_frame) and the artifacts cached
+    on the Frame object, so a keyframe matched against every incoming
+    frame never recomputes them — the reference's PointSelection /
+    acceleration-structure caching (point_selection.cpp:89-117,
+    local_tracker.cpp:162-169).
     """
 
     def __init__(self, cfg: TrackerConfig, intrinsics: Intrinsics):
         self.cfg = cfg
         self.intrinsics = intrinsics
         self._cache = {}
+        self._prepare_jit = jax.jit(
+            functools.partial(prepare_frame, cfg, intrinsics)
+        )
+
+    def prepared(self, frame: Frame) -> PreparedFrame:
+        """The frame's cached solver artifacts (computed on first use).
+
+        The cache lives on the Frame, keyed by (cfg, intrinsics), so its
+        device memory is released with the frame and a reconfigured
+        matcher never reuses stale artifacts.
+        """
+        cache = frame.__dict__.setdefault("_prepared", {})
+        key = (self.cfg, self.intrinsics)
+        if key not in cache:
+            cache[key] = self._prepare_jit(frame.levels)
+        return cache[key]
+
+    def evict(self, frame: Frame):
+        """Release this matcher's cached artifacts for a frame (used when a
+        keyframe retires from active tracking; its Frame lives on in the
+        graph for loop-closure validation, which prepares under its own
+        coarser config key)."""
+        frame.__dict__.get("_prepared", {}).pop((self.cfg, self.intrinsics), None)
 
     def _fn(self, batch: int):
         if batch not in self._cache:
-            single = functools.partial(match_pyramids, self.cfg, self.intrinsics)
+            single = functools.partial(match_prepared, self.cfg, self.intrinsics)
 
             def flat_batch(ref_b, cur_b, init_b):
                 return jax.vmap(
@@ -184,15 +221,17 @@ class BatchedMatcher:
         n = len(requests)
         bucket = 1 << (n - 1).bit_length()
         pad = bucket - n
-        refs = [r[0] for r in requests] + [requests[-1][0]] * pad
-        curs = [r[1] for r in requests] + [requests[-1][1]] * pad
+        refs = [self.prepared(r[0]) for r in requests]
+        curs = [self.prepared(r[1]) for r in requests]
+        refs += [refs[-1]] * pad
+        curs += [curs[-1]] * pad
         inits = [
             np.eye(4, dtype=np.float32) if r[2] is None else np.asarray(r[2], np.float32)
             for r in requests
         ] + [np.eye(4, dtype=np.float32)] * pad
 
-        ref_b = stack_frames(refs)
-        cur_b = stack_frames(curs)
+        ref_b = jax.tree.map(lambda *xs: jnp.stack(xs), *refs)
+        cur_b = jax.tree.map(lambda *xs: jnp.stack(xs), *curs)
         init_b = jnp.asarray(np.stack(inits))
         flat = np.asarray(self._fn(bucket)(ref_b, cur_b, init_b))  # one download
         return [_decode_result(flat[i]) for i in range(n)]

@@ -153,6 +153,10 @@ class LocalTracker:
             new_keyframe = old_map.current_frame
             for cb in self.map_complete_callbacks:
                 cb(self, old_map)
+            # the retiring keyframe leaves active tracking: release its
+            # tracking-config prepared artifacts (the Frame itself stays in
+            # the graph for loop-closure validation)
+            self.matcher.evict(old_map.keyframe)
             self._init_map(new_keyframe, frame, r_odometry, old_pose)
             self.last_keyframe_pose = np.asarray(r_odometry.transformation, np.float64)
 
