@@ -150,6 +150,100 @@ def edge_blocks(graph: GraphArrays, delta: float = CAUCHY_DELTA):
     return H_ii, H_ij, H_jj, b_i, b_j, chi2
 
 
+GAUGE_DAMPING = 1e-6  # matches apply_gauge's Levenberg term
+
+
+def block_diag_preconditioner(n, ei, ej, H_ii, H_jj, free, dtype):
+    """Cholesky factors of the block-Jacobi preconditioner: the per-vertex
+    6x6 diagonal blocks of the gauged system (scatter-add of each edge's
+    diagonal contributions + damping, identity on fixed vertices)."""
+    eye = jnp.eye(6, dtype=dtype)
+    freef = free.astype(dtype)
+    D = jnp.zeros((n, 6, 6), dtype)
+    D = D.at[ei].add(H_ii)
+    D = D.at[ej].add(H_jj)
+    D = D * freef[:, None, None] + (1.0 - freef)[:, None, None] * eye
+    D = D + GAUGE_DAMPING * eye
+    return jax.vmap(jnp.linalg.cholesky)(D)
+
+
+def edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, x):
+    """y = H_gauged @ x without materializing H: gather the two endpoint
+    blocks of x per edge, apply the 6x6 blocks, scatter-add the results —
+    the block-sparse SpMV whose per-edge unit matches the reference's
+    CSparse structure (keyframe_graph.cpp:126-142) and distributes as a
+    psum of shard-local partial products (SURVEY.md 2.5 P6).
+
+    Gauge semantics match :func:`apply_gauge`: fixed/unallocated vertices
+    act as identity rows, free rows carry the Levenberg damping.
+    """
+    freef = free.astype(x.dtype)[:, None]
+    xf = x * freef
+    xi = xf[ei]
+    xj = xf[ej]
+    yi = jnp.einsum("eab,eb->ea", H_ii, xi) + jnp.einsum("eab,eb->ea", H_ij, xj)
+    yj = jnp.einsum("eba,eb->ea", H_ij, xi) + jnp.einsum("eab,eb->ea", H_jj, xj)
+    y = jnp.zeros_like(x).at[ei].add(yi).at[ej].add(yj)
+    return y * freef + GAUGE_DAMPING * xf + x * (1.0 - freef)
+
+
+def solve_blocks_cg(
+    n,
+    ei,
+    ej,
+    H_ii,
+    H_ij,
+    H_jj,
+    rhs,  # [N, 6]
+    free,  # [N] bool
+    iterations: int = 100,
+    tol: float = 1e-6,
+):
+    """Preconditioned conjugate gradients on the block-sparse gauged
+    normal equations — the scalable replacement for the dense [6N, 6N]
+    Cholesky (reference: g2o's sparse CSparse backends,
+    keyframe_graph.cpp:138-142, local_map.cpp:57-90).  O(E) memory and
+    compute per iteration; jit/scan-safe (fixed-shape while_loop)."""
+    dtype = rhs.dtype
+    rhs = rhs * free.astype(dtype)[:, None]
+    L = block_diag_preconditioner(n, ei, ej, H_ii, H_jj, free, dtype)
+
+    def precond(r):
+        y = jax.vmap(
+            lambda Li, ri: jax.scipy.linalg.solve_triangular(Li, ri, lower=True)
+        )(L, r)
+        return jax.vmap(
+            lambda Li, yi: jax.scipy.linalg.solve_triangular(Li.T, yi, lower=False)
+        )(L, y)
+
+    matvec = lambda v: edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, v)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs  # b - H @ 0
+    z0 = precond(r0)
+    rz0 = jnp.vdot(r0, z0)
+    stop2 = tol * tol * jnp.maximum(jnp.vdot(rhs, rhs), 1e-30)
+
+    def cond(c):
+        _, r, _, _, _, k = c
+        return (k < iterations) & (jnp.vdot(r, r) > stop2)
+
+    def body(c):
+        x, r, z, p, rz, k = c
+        Hp = matvec(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Hp), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Hp
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, z, p, rz_new, k + 1
+
+    x, r, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, jnp.asarray(0)))
+    return x
+
+
 def apply_pose_update(graph: GraphArrays, H, b):
     """Solve the assembled system and right-update the free poses."""
     n = graph.poses.shape[0]
@@ -159,25 +253,55 @@ def apply_pose_update(graph: GraphArrays, H, b):
     return graph._replace(poses=graph.poses @ se3.exp_se3(delta_x))
 
 
-def gauss_newton_iteration(graph: GraphArrays, delta: float = CAUCHY_DELTA):
-    """One robust Gauss-Newton iteration; returns (new_graph, total_chi2)."""
+def gauss_newton_iteration(
+    graph: GraphArrays,
+    delta: float = CAUCHY_DELTA,
+    solver: str = "dense",
+    cg_iterations: int = 100,
+):
+    """One robust Gauss-Newton iteration; returns (new_graph, total_chi2).
+
+    ``solver``: "dense" assembles the full [6N, 6N] system and Cholesky-
+    solves it (the small-graph oracle); "cg" runs block-Jacobi
+    preconditioned CG directly on the per-edge blocks — O(E) memory, the
+    scalable path for graphs with thousands of vertices."""
     H_ii, H_ij, H_jj, b_i, b_j, chi2 = edge_blocks(graph, delta)
     n = graph.poses.shape[0]
     free = graph.vertex_mask & ~graph.fixed_mask
-    H, b = _assemble_dense(n, graph.edge_i, graph.edge_j, H_ii, H_ij, H_jj, b_i, b_j, free)
-    new_graph = apply_pose_update(graph, H, b)
+    if solver == "dense":
+        H, b = _assemble_dense(
+            n, graph.edge_i, graph.edge_j, H_ii, H_ij, H_jj, b_i, b_j, free
+        )
+        new_graph = apply_pose_update(graph, H, b)
+    elif solver == "cg":
+        b = jnp.zeros((n, 6), b_i.dtype).at[graph.edge_i].add(b_i)
+        b = b.at[graph.edge_j].add(b_j)
+        delta_x = solve_blocks_cg(
+            n, graph.edge_i, graph.edge_j, H_ii, H_ij, H_jj, -b, free,
+            iterations=cg_iterations,
+        )
+        delta_x = jnp.where(free[:, None], delta_x, 0.0)
+        new_graph = graph._replace(poses=graph.poses @ se3.exp_se3(delta_x))
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
     total = jnp.sum(jnp.where(graph.edge_mask, chi2, 0.0))
     return new_graph, total
 
 
-def optimize(graph: GraphArrays, iterations: int, delta: float = CAUCHY_DELTA):
+def optimize(
+    graph: GraphArrays,
+    iterations: int,
+    delta: float = CAUCHY_DELTA,
+    solver: str = "dense",
+    cg_iterations: int = 100,
+):
     """Run a fixed number of robust GN iterations (jit-able; mirrors
     g2o's optimize(n) calls, e.g. keyframe_graph.cpp:481-489).
 
     Returns (graph, chi2_history [iterations])."""
 
     def body(g, _):
-        g, chi2 = gauss_newton_iteration(g, delta)
+        g, chi2 = gauss_newton_iteration(g, delta, solver, cg_iterations)
         return g, chi2
 
     graph, history = jax.lax.scan(body, graph, None, length=iterations)
@@ -380,17 +504,35 @@ class PoseGraph:
             robust=jnp.asarray(self.robust),
         )
 
+    # above this many allocated vertices the dense [6N, 6N] Cholesky is
+    # replaced by block-sparse preconditioned CG (a 128-vertex dense solve
+    # is a 768x768 factorization — past that the dense path's O(N^2)
+    # memory and O(N^3) solve lose to O(E) CG)
+    DENSE_SOLVER_MAX_VERTICES = 128
+
     def optimize(
         self,
         iterations: int = 50,
         delta: float = CAUCHY_DELTA,
         max_level: int = 0,
+        solver: str = "auto",
     ) -> np.ndarray:
         """Optimize in place over edges with level <= max_level; returns the
         chi2 history.  max_level=0 is the sparse keyframe-graph mode,
-        max_level >= 2 the dense mode including odometry edges."""
+        max_level >= 2 the dense mode including odometry edges.
+
+        ``solver``: "auto" uses the dense Cholesky oracle up to
+        DENSE_SOLVER_MAX_VERTICES and block-sparse CG beyond (the
+        reference's CSparse role, keyframe_graph.cpp:138-142); "dense" /
+        "cg" force a path."""
         if self._n < 2 or self._e < 1:
             return np.zeros(0, self.dtype)
+        if solver == "auto":
+            solver = "dense" if self._n <= self.DENSE_SOLVER_MAX_VERTICES else "cg"
+        # Krylov bound: a chain of N vertices needs ~N CG iterations to
+        # propagate a correction end to end; the tolerance check exits
+        # early on well-conditioned (loopy) graphs.
+        cg_iterations = min(max(256, 2 * self._n), 8192)
         # gauge: if nothing is fixed, fix the first vertex (g2o requires the
         # same choice before initializeOptimization)
         arrays = self.to_arrays()
@@ -402,8 +544,24 @@ class PoseGraph:
             arrays = arrays._replace(
                 fixed_mask=arrays.fixed_mask.at[0].set(True)
             )
-        out, history = _optimize_jit(arrays, iterations, delta)
-        self.poses[: self._n] = np.asarray(out.poses)[: self._n]
+        if solver == "cg":
+            # The reference solves graphs in double (g2o/CSparse); block-CG
+            # on big graphs needs the same — f32 stalls on the soft modes
+            # of long chains.  enable_x64 scopes the promotion to this
+            # solve; image alignment stays f32.
+            with jax.enable_x64(True):
+                a64 = jax.tree.map(
+                    lambda x: x.astype(jnp.float64) if x.dtype == jnp.float32 else x,
+                    arrays,
+                )
+                out, history = optimize(a64, iterations, delta, solver, cg_iterations)
+                out_poses = np.asarray(out.poses)
+                history = np.asarray(history)
+        else:
+            out, history = _optimize_jit(arrays, iterations, delta, solver, cg_iterations)
+            out_poses = np.asarray(out.poses)
+            history = np.asarray(history)
+        self.poses[: self._n] = out_poses[: self._n]
         return np.asarray(history)
 
     def edge_diagnostics(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -429,6 +587,12 @@ class PoseGraph:
         return len(candidates)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _optimize_jit(arrays: GraphArrays, iterations: int, delta: float):
-    return optimize(arrays, iterations, delta)
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _optimize_jit(
+    arrays: GraphArrays,
+    iterations: int,
+    delta: float,
+    solver: str = "dense",
+    cg_iterations: int = 100,
+):
+    return optimize(arrays, iterations, delta, solver, cg_iterations)

@@ -2,6 +2,7 @@
 convergence on small graphs with known solutions, SURVEY.md hard part 5)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dvo_slam_tpu.models import pose_graph as pg
@@ -127,3 +128,102 @@ def test_gauge_auto_fix():
     g.optimize(iterations=10)
     assert _pose_err(g.vertex_pose("a"), np.eye(4)) < 1e-5
     assert _pose_err(g.vertex_pose("b"), T) < 1e-4
+
+
+def _loopy_graph(n, seed=0, noise=0.02, loop_every=7):
+    """Drifty odometry ring with periodic loop closures; returns (graph,
+    true poses)."""
+    rng = np.random.default_rng(seed)
+    step = [0.4, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / n]
+    true = [np.eye(4)]
+    for _ in range(n):
+        true.append(true[-1] @ _exp(step))
+    g = pg.PoseGraph()
+    pose = np.eye(4)
+    g.add_vertex(0, pose, fixed=True)
+    for i in range(n):
+        meas = _rel(true[i], true[i + 1]) @ _exp(rng.normal(0, noise, 6))
+        pose = pose @ meas
+        g.add_vertex(i + 1, pose)
+        g.add_edge(i, i + 1, meas, np.eye(6))
+    for i in range(0, n - loop_every, loop_every):
+        g.add_edge(
+            i, i + loop_every, _rel(true[i], true[i + loop_every]),
+            50.0 * np.eye(6), robust=True,
+        )
+    return g, true
+
+
+def test_cg_solver_matches_dense():
+    """Block-sparse preconditioned CG must reproduce the dense Cholesky
+    oracle on small graphs (the CSparse-parity gate, VERDICT item 3)."""
+    import copy
+
+    g_dense, true = _loopy_graph(24, seed=3)
+    g_cg, _ = _loopy_graph(24, seed=3)
+    g_dense.optimize(iterations=15, solver="dense")
+    g_cg.optimize(iterations=15, solver="cg")
+    for i in range(25):
+        err = _pose_err(g_dense.vertex_pose(i), g_cg.vertex_pose(i))
+        assert err < 1e-3, (i, err)
+        # sanity only — with 0.02-rad odometry noise the *optimum* itself
+        # sits a few cm from truth; the parity gate above is the real test
+        assert _pose_err(g_cg.vertex_pose(i), true[i]) < 0.1, i
+
+
+@pytest.mark.slow
+def test_cg_scales_to_thousands_of_vertices():
+    """A 2000+-vertex graph optimizes with bounded memory through the CG
+    path (a dense 12300x12300 Hessian would be ~0.6 GB and O(N^3) to
+    factor; CG stays O(E)).  Gate: chi2 collapses to the
+    measurement-consistency optimum and every edge becomes consistent.
+    (Absolute pose error vs truth is NOT a valid gate here: a 130 m
+    single-loop ring has soft modes that absorb f32 measurement rounding
+    into a visible global deformation at zero chi2 — any exact solver,
+    including the reference's CSparse, shows the same.)"""
+    n = 2048
+    rng = np.random.default_rng(5)
+    step = [0.4, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / n]
+    true = [np.eye(4)]
+    for _ in range(n):
+        true.append(true[-1] @ _exp(step))
+    g = pg.PoseGraph()
+    g.add_vertex(0, np.eye(4), fixed=True)
+    for i in range(n):
+        # noisy initialization around truth, exact measurements
+        g.add_vertex(i + 1, true[i + 1] @ _exp(rng.normal(0, 0.05, 6)))
+        g.add_edge(i, i + 1, _rel(true[i], true[i + 1]), np.eye(6))
+    for i in range(0, n - 64, 64):  # long-range consistency edges
+        g.add_edge(i, i + 64, _rel(true[i], true[i + 64]), 10.0 * np.eye(6))
+    assert g.num_vertices > pg.PoseGraph.DENSE_SOLVER_MAX_VERTICES
+    hist = g.optimize(iterations=6)  # auto -> cg (f64)
+    assert hist[-1] < hist[0] * 1e-4, (hist[0], hist[-1])  # chi2 collapsed
+    _, chi2 = g.edge_diagnostics()
+    assert chi2.max() < 1e-4  # every edge consistent, not just the sum
+    # local trajectory consistency: relative poses match truth tightly
+    rel_errs = [
+        _pose_err(
+            _rel(g.vertex_pose(i), g.vertex_pose(i + 1)), _rel(true[i], true[i + 1])
+        )
+        for i in range(0, n, 97)
+    ]
+    assert max(rel_errs) < 1e-3, max(rel_errs)
+
+
+def test_edge_matvec_matches_dense_hessian():
+    """The block-sparse SpMV is exactly the gauged dense H product."""
+    g, _ = _loopy_graph(12, seed=7)
+    arrays = g.to_arrays()
+    H_ii, H_ij, H_jj, b_i, b_j, chi2 = pg.edge_blocks(arrays)
+    n = arrays.poses.shape[0]
+    free = arrays.vertex_mask & ~arrays.fixed_mask
+    H, b = pg._assemble_dense(
+        n, arrays.edge_i, arrays.edge_j, H_ii, H_ij, H_jj, b_i, b_j, free
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (n, 6)).astype(np.float32))
+    want = (H @ x.reshape(-1)).reshape(n, 6)
+    got = pg.edge_matvec(
+        arrays.edge_i, arrays.edge_j, H_ii, H_ij, H_jj, free, x
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
