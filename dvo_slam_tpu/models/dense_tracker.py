@@ -44,6 +44,7 @@ from ..ops.residuals import (
     compute_residuals,
     normal_equations,
     warp_and_sample,
+    warp_and_sample_cm,
 )
 
 _DEBUG = False  # set True to trace per-iteration solver state
@@ -203,24 +204,31 @@ def _resolve_backend(cfg: TrackerConfig) -> str:
 
 
 def _build_refpack(ref_level: PyramidLevel, sel_mask, intrinsics: Intrinsics):
-    """Reference-side channel pack [N, 8] for the fused kernels:
-    (intensity, depth, idx, idy, x, y, selected, 0)."""
+    """Reference-side channel pack, channel-MAJOR [8, N]:
+    (intensity, depth, idx, idy, x, y, selected, 0) — pixels ride the
+    TPU lane axis (see pallas_kernels.fused_partials_xla's layout note).
+    Rows 4/5 cache the unprojected x/y so the per-iteration warp never
+    re-unprojects (the reference's precomputed point cloud,
+    rgbd_image.cpp:245-262)."""
     h, w = ref_level.intensity.shape
     n = h * w
-    points = unproject(ref_level.depth, intrinsics).reshape(n, 3)
-    zeros = jnp.zeros(n, ref_level.intensity.dtype)
+    dtype = ref_level.intensity.dtype
+    z = ref_level.depth.reshape(n)
+    col = jax.lax.iota(dtype, n) % w
+    row = jax.lax.iota(dtype, n) // w
+    x = (col - intrinsics.ox) / intrinsics.fx * z
+    y = (row - intrinsics.oy) / intrinsics.fy * z
     return jnp.stack(
         [
             ref_level.intensity.reshape(n),
             ref_level.depth.reshape(n),
             ref_level.idx.reshape(n),
             ref_level.idy.reshape(n),
-            points[:, 0],
-            points[:, 1],
-            sel_mask.reshape(n).astype(ref_level.intensity.dtype),
-            zeros,
-        ],
-        axis=-1,
+            x,
+            y,
+            sel_mask.reshape(n).astype(dtype),
+            jnp.zeros(n, dtype),
+        ]
     )
 
 
@@ -270,16 +278,22 @@ def _match_level(
         return n, precision_new, ll, A, b
 
     if backend in ("fused", "pallas") and quad is None:
-        from ..ops.interp import build_quad_table
+        from ..ops.interp import build_quad_table_cm
 
-        quad = build_quad_table(cur_accel)  # loop-invariant, built per level
+        # loop-invariant, built per level (channel-major; see refpack note);
+        # the uncached fallback accepts the [H, W, 8] oracle-path tensor
+        accel_cm = (
+            cur_accel.reshape(-1, cur_accel.shape[-1]).T
+            if cur_accel.ndim == 3
+            else cur_accel
+        )
+        quad = build_quad_table_cm(accel_cm, ref_level.intensity.shape[1])
 
     def evaluate_fused(T, P_prev, first):
         """Single-pass fused path (Pallas on TPU, XLA twin elsewhere)."""
-        sampled, z_t, _ = warp_and_sample(
-            ref_level.depth, cur_accel, intrinsics, T, quad=quad
+        sampled = warp_and_sample_cm(
+            refpack, quad, ref_level.intensity.shape, intrinsics, T
         )
-        sampled = sampled.at[:, 7].set(z_t)
         p3 = jnp.stack([P_prev[0, 0], P_prev[0, 1], P_prev[1, 1]])
         fn = (
             pallas_kernels.fused_partials_pallas
@@ -292,7 +306,7 @@ def _match_level(
         precision_new = robust.precision_from_scale(
             pallas_kernels.scale_matrix(parts) / denom
         )
-        ll = robust.tdist_log_likelihood(
+        ll = robust.tdist_log_likelihood_cm(
             parts.residuals, precision_new, parts.weights > 0, dof
         )
         A, b = pallas_kernels.assemble_normal_equations(parts, precision_new)
@@ -441,11 +455,17 @@ def prepare_frame(
     intrinsics: Intrinsics,
     levels: Sequence[PyramidLevel],
 ) -> PreparedFrame:
-    """Precompute both roles' per-level artifacts for the solve range."""
+    """Precompute both roles' per-level artifacts for the solve range.
+
+    The fused path's artifacts are channel-MAJOR (refpack [8, N], quad
+    [32, N] — see pallas_kernels.fused_partials_xla's layout note); the
+    modular XLA oracle keeps the channel-last acceleration tensor.
+    """
     backend = _resolve_backend(cfg)
     fused = backend in ("fused", "pallas")
     if fused:
-        from ..ops.interp import build_quad_table
+        from ..ops.interp import build_quad_table_cm
+        from ..ops.pyramid import build_acceleration_cm
 
     n = len(levels)
     sel = [None] * n
@@ -461,10 +481,13 @@ def prepare_frame(
             cfg.intensity_derivative_threshold,
             cfg.depth_derivative_threshold,
         )
-        accel[level] = build_acceleration(lv)
         if fused:
             refpack[level] = _build_refpack(lv, sel[level], intrinsics.at_level(level))
-            quad[level] = build_quad_table(accel[level])
+            quad[level] = build_quad_table_cm(
+                build_acceleration_cm(lv), lv.intensity.shape[1]
+            )
+        else:
+            accel[level] = build_acceleration(lv)
     return PreparedFrame(
         levels=tuple(out_levels),
         sel=tuple(sel),

@@ -153,30 +153,29 @@ def edge_blocks(graph: GraphArrays, delta: float = CAUCHY_DELTA):
 GAUGE_DAMPING = 1e-6  # matches apply_gauge's Levenberg term
 
 
-def block_diag_preconditioner(n, ei, ej, H_ii, H_jj, free, dtype):
+def block_diag_preconditioner(n, ei, ej, H_ii, H_jj, free, dtype, axis_name=None):
     """Cholesky factors of the block-Jacobi preconditioner: the per-vertex
     6x6 diagonal blocks of the gauged system (scatter-add of each edge's
-    diagonal contributions + damping, identity on fixed vertices)."""
+    diagonal contributions + damping, identity on fixed vertices).  With
+    ``axis_name`` the shard-local accumulations psum over the mesh before
+    gauging (one [N, 6, 6] collective per GN iteration)."""
     eye = jnp.eye(6, dtype=dtype)
     freef = free.astype(dtype)
     D = jnp.zeros((n, 6, 6), dtype)
     D = D.at[ei].add(H_ii)
     D = D.at[ej].add(H_jj)
+    if axis_name is not None:
+        D = jax.lax.psum(D, axis_name)
     D = D * freef[:, None, None] + (1.0 - freef)[:, None, None] * eye
     D = D + GAUGE_DAMPING * eye
     return jax.vmap(jnp.linalg.cholesky)(D)
 
 
-def edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, x):
-    """y = H_gauged @ x without materializing H: gather the two endpoint
-    blocks of x per edge, apply the 6x6 blocks, scatter-add the results —
-    the block-sparse SpMV whose per-edge unit matches the reference's
-    CSparse structure (keyframe_graph.cpp:126-142) and distributes as a
-    psum of shard-local partial products (SURVEY.md 2.5 P6).
-
-    Gauge semantics match :func:`apply_gauge`: fixed/unallocated vertices
-    act as identity rows, free rows carry the Levenberg damping.
-    """
+def edge_matvec_partial(ei, ej, H_ii, H_ij, H_jj, free, x):
+    """Pure edge contribution P_free H_edges P_free @ x (no gauge terms):
+    the shard-local unit of the distributed SpMV — partial products from
+    each edge shard psum over ICI (SURVEY.md 2.5 P6), gauge terms are
+    added once after the reduction."""
     freef = free.astype(x.dtype)[:, None]
     xf = x * freef
     xi = xf[ei]
@@ -184,7 +183,28 @@ def edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, x):
     yi = jnp.einsum("eab,eb->ea", H_ii, xi) + jnp.einsum("eab,eb->ea", H_ij, xj)
     yj = jnp.einsum("eba,eb->ea", H_ij, xi) + jnp.einsum("eab,eb->ea", H_jj, xj)
     y = jnp.zeros_like(x).at[ei].add(yi).at[ej].add(yj)
-    return y * freef + GAUGE_DAMPING * xf + x * (1.0 - freef)
+    return y * freef
+
+
+def _gauge_terms(x, free):
+    """Identity rows for fixed/unallocated vertices + Levenberg damping on
+    free rows (matching :func:`apply_gauge`)."""
+    freef = free.astype(x.dtype)[:, None]
+    return GAUGE_DAMPING * x * freef + x * (1.0 - freef)
+
+
+def edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, x):
+    """y = H_gauged @ x without materializing H: gather the two endpoint
+    blocks of x per edge, apply the 6x6 blocks, scatter-add the results —
+    the block-sparse SpMV whose per-edge unit matches the reference's
+    CSparse structure (keyframe_graph.cpp:126-142).
+
+    Gauge semantics match :func:`apply_gauge`: fixed/unallocated vertices
+    act as identity rows, free rows carry the Levenberg damping.
+    """
+    return edge_matvec_partial(ei, ej, H_ii, H_ij, H_jj, free, x) + _gauge_terms(
+        x, free
+    )
 
 
 def solve_blocks_cg(
@@ -198,15 +218,21 @@ def solve_blocks_cg(
     free,  # [N] bool
     iterations: int = 100,
     tol: float = 1e-6,
+    axis_name: Optional[str] = None,
 ):
     """Preconditioned conjugate gradients on the block-sparse gauged
     normal equations — the scalable replacement for the dense [6N, 6N]
     Cholesky (reference: g2o's sparse CSparse backends,
     keyframe_graph.cpp:138-142, local_map.cpp:57-90).  O(E) memory and
-    compute per iteration; jit/scan-safe (fixed-shape while_loop)."""
+    compute per iteration; jit/scan-safe (fixed-shape while_loop).
+
+    With ``axis_name`` (inside shard_map) the edge arrays are this
+    shard's slice and ``rhs`` must already be globally reduced: each CG
+    iteration psums ONE [N, 6] partial product over ICI — O(N) per
+    iteration instead of the O(N^2) dense-system reduction."""
     dtype = rhs.dtype
     rhs = rhs * free.astype(dtype)[:, None]
-    L = block_diag_preconditioner(n, ei, ej, H_ii, H_jj, free, dtype)
+    L = block_diag_preconditioner(n, ei, ej, H_ii, H_jj, free, dtype, axis_name)
 
     def precond(r):
         y = jax.vmap(
@@ -216,7 +242,12 @@ def solve_blocks_cg(
             lambda Li, yi: jax.scipy.linalg.solve_triangular(Li.T, yi, lower=False)
         )(L, y)
 
-    matvec = lambda v: edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, v)
+    if axis_name is None:
+        matvec = lambda v: edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, v)
+    else:
+        def matvec(v):
+            part = edge_matvec_partial(ei, ej, H_ii, H_ij, H_jj, free, v)
+            return jax.lax.psum(part, axis_name) + _gauge_terms(v, free)
 
     x0 = jnp.zeros_like(rhs)
     r0 = rhs  # b - H @ 0

@@ -114,6 +114,52 @@ def bilinear_sample_quad(quad, shape, u, v):
     return values, in_bounds & neighbors_valid
 
 
+def build_quad_table_cm(accel_cm, width: int):
+    """Channel-major quad table [32, H*W]: rows 0-7 are the pixel's 8
+    channels, 8-15 its right neighbor, 16-23 below, 24-31 below-right.
+
+    Built from the [8, H*W] acceleration pack with three lane-rolls — no
+    channel-minor materialization (see build_acceleration_cm's layout
+    note).  Border wrap semantics identical to :func:`build_quad_table`.
+    """
+    right = jnp.roll(accel_cm, -1, axis=1)
+    down = jnp.roll(accel_cm, -width, axis=1)
+    down_right = jnp.roll(accel_cm, -(width + 1), axis=1)
+    return jnp.concatenate([accel_cm, right, down, down_right], axis=0)
+
+
+def bilinear_sample_quad_cm(quad_cm, shape, u, v):
+    """Bilinear sampling through the channel-major quad table: ONE column
+    gather of [32, N] brings each pixel's whole 2x2 support; the result
+    stays channel-major [8, N].  Semantics identical to
+    :func:`bilinear_sample_quad`."""
+    h, w = shape
+    in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
+
+    u = jnp.clip(u, 0.0, w - 1.001)
+    v = jnp.clip(v, 0.0, h - 1.001)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    x1w = u - x0
+    y1w = v - y0
+    x0w = 1.0 - x1w
+    y0w = 1.0 - y1w
+
+    idx = y0.astype(jnp.int32) * w + x0.astype(jnp.int32)
+    cols = quad_cm[:, jnp.clip(idx, 0, quad_cm.shape[1] - 1)]  # [32, N]
+    a00, a10, a01, a11 = cols[:8], cols[8:16], cols[16:24], cols[24:32]
+
+    values = (a00 * x0w + a10 * x1w) * y0w + (a01 * x0w + a11 * x1w) * y1w
+
+    neighbors_valid = (
+        (a00[VALID_CHANNEL] > 0.5)
+        & (a10[VALID_CHANNEL] > 0.5)
+        & (a01[VALID_CHANNEL] > 0.5)
+        & (a11[VALID_CHANNEL] > 0.5)
+    )
+    return values, in_bounds & neighbors_valid
+
+
 def bilinear_with_depth_buffer(intensity, depth, depth_valid, u, v, z_expected):
     """Depth-buffer-aware bilinear interpolation of an intensity image.
 

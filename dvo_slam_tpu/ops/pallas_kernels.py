@@ -65,7 +65,7 @@ class FusedPartials(NamedTuple):
     v: jnp.ndarray  # [4, 6]  rows: v00, v01, v10, v11
     scale_sum: jnp.ndarray  # [3]  (S_II, S_IZ, S_ZZ)
     num_valid: jnp.ndarray  # []
-    residuals: jnp.ndarray  # [N, 2]
+    residuals: jnp.ndarray  # [2, N] channel-major (r_I, r_Z rows)
     weights: jnp.ndarray  # [N]
 
 
@@ -153,16 +153,22 @@ def _unpack_gram(g):
 
 
 def fused_partials_xla(
-    sampled,  # [N, 8]
-    refpack,  # [N, 8]
+    sampled,  # [8, N] channel-major
+    refpack,  # [8, N] channel-major
     precision3,  # [3] (P00, P01, P11)
     first_iter,  # [] int32
     intrinsics: Intrinsics,
     dof: float = 5.0,
 ) -> FusedPartials:
-    """XLA twin of the Pallas kernel (also the CPU/test oracle)."""
-    ref = refpack.T
-    cur = sampled.T
+    """XLA twin of the Pallas kernel (also the CPU/test oracle).
+
+    Inputs are channel-MAJOR [8, N]: on TPU the minor axis maps to the
+    128-lane dimension, so a channel-minor [N, 8] array wastes 15/16 of
+    every (8, 128) tile — channel-major keeps pixels on lanes (measured
+    ~4x on the prepare stage; tools/hotpath4.py).
+    """
+    ref = refpack
+    cur = sampled
     r_i, r_z, w, maskf, j_i, j_z = _pixel_math(
         ref, cur, precision3, first_iter, intrinsics.fx, intrinsics.fy, dof
     )
@@ -182,7 +188,7 @@ def fused_partials_xla(
         v=v,
         scale_sum=scale_sum,
         num_valid=n,
-        residuals=jnp.stack([r_i, r_z], axis=-1),
+        residuals=jnp.stack([r_i, r_z]),
         weights=w,
     )
 
@@ -244,24 +250,25 @@ def _kernel(params_ref, ref_ref, cur_ref, stats_ref, rw_ref):
 
 
 def fused_partials_pallas(
-    sampled,  # [N, 8]
-    refpack,  # [N, 8]
+    sampled,  # [8, N] channel-major
+    refpack,  # [8, N] channel-major
     precision3,  # [3]
     first_iter,  # [] int32
     intrinsics: Intrinsics,
     dof: float = 5.0,
     interpret: bool = False,
 ) -> FusedPartials:
-    """Fused Pallas pass.  Pixels are laid out channel-major [8, N]; the
-    grid walks BLOCK-pixel tiles (BLOCK is a multiple of the 128-lane
-    axis).  Padding lanes contribute nothing (sel/valid are 0 there)."""
-    n = sampled.shape[0]
+    """Fused Pallas pass.  Pixels arrive channel-major [8, N] (pixels on
+    the 128-lane axis — see fused_partials_xla's layout note); the grid
+    walks BLOCK-pixel tiles.  Padding lanes contribute nothing (sel/valid
+    are 0 there)."""
+    n = sampled.shape[1]
     n_pad = -(-n // BLOCK) * BLOCK
     pad = n_pad - n
     dtype = sampled.dtype
 
-    cur = jnp.pad(sampled, ((0, pad), (0, 0))).T  # [8, n_pad]
-    ref = jnp.pad(refpack, ((0, pad), (0, 0))).T
+    cur = jnp.pad(sampled, ((0, 0), (0, pad)))  # [8, n_pad]
+    ref = jnp.pad(refpack, ((0, 0), (0, pad)))
 
     params = jnp.concatenate(
         [
@@ -292,7 +299,7 @@ def fused_partials_pallas(
         interpret=interpret,
     )(params, ref, cur)
 
-    return _unpack_stats(stats, rw[:2, :n].T, rw[2, :n])
+    return _unpack_stats(stats, rw[:2, :n], rw[2, :n])
 
 
 def assemble_normal_equations(partials: FusedPartials, precision):

@@ -183,6 +183,30 @@ def build_acceleration(level: PyramidLevel):
     )
 
 
+def build_acceleration_cm(level: PyramidLevel):
+    """Channel-MAJOR acceleration pack [8, H*W] for the fused solver path.
+
+    Same channels as :func:`build_acceleration`, transposed so pixels ride
+    the TPU's 128-lane minor axis: a channel-minor [H, W, 8] array wastes
+    15/16 of every (8, 128) tile (measured ~4x on the prepare stage,
+    tools/hotpath4.py).  The [H, W, 8] form remains for the modular XLA
+    oracle path and visualization."""
+    n = level.intensity.size
+    zero = jnp.zeros(n, level.intensity.dtype)
+    return jnp.stack(
+        [
+            level.intensity.reshape(n),
+            level.depth.reshape(n),
+            level.idx.reshape(n),
+            level.idy.reshape(n),
+            level.zdx.reshape(n),
+            level.zdy.reshape(n),
+            level.zvalid.astype(level.intensity.dtype).reshape(n),
+            zero,
+        ]
+    )
+
+
 def selection_mask(
     level: PyramidLevel,
     intensity_derivative_threshold: float = 0.0,

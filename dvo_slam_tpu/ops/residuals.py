@@ -127,6 +127,40 @@ def warp_and_sample(
     return sampled, z_t, points
 
 
+def warp_and_sample_cm(
+    refpack_cm,  # [8, N] channel-major (i, z, idx, idy, x, y, sel, 0)
+    quad_cm,  # [32, N] channel-major quad table of the current frame
+    shape,  # (H, W) of the level
+    intrinsics: Intrinsics,
+    T,  # [4, 4]
+):
+    """Channel-major warp + sample: the production gather of the fused
+    path.  Reference geometry comes straight from the refpack channels
+    (x, y in rows 4/5, z = depth in row 1 — the unprojection is cached at
+    prepare time instead of recomputed per iteration), so ONE [32, N]
+    column gather delivers each pixel's full 2x2 support and everything
+    stays pixels-on-lanes.  Returns ``sampled [8, N]`` with channel 6 the
+    combined bounds+neighbor validity and channel 7 the transformed depth
+    z' (ready for the fused partials kernel).
+    """
+    from .interp import bilinear_sample_quad_cm
+
+    x, y, z = refpack_cm[4], refpack_cm[5], refpack_cm[1]
+    R = T[:3, :3].astype(refpack_cm.dtype)
+    t = T[:3, 3].astype(refpack_cm.dtype)
+    p_x = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z + t[0]
+    p_y = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z + t[1]
+    z_t = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z + t[2]
+    z_safe = jnp.where(z_t > 1e-12, z_t, 1e-12)
+    u = p_x / z_safe * intrinsics.fx + intrinsics.ox
+    v = p_y / z_safe * intrinsics.fy + intrinsics.oy
+    sampled, sample_valid = bilinear_sample_quad_cm(quad_cm, shape, u, v)
+    validity = sample_valid & (z_t > 1e-12)
+    sampled = sampled.at[6].set(validity.astype(sampled.dtype))
+    sampled = sampled.at[7].set(z_t)
+    return sampled
+
+
 def compute_residuals(
     ref_intensity,  # [H, W]
     ref_depth,  # [H, W]

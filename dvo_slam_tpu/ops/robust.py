@@ -92,6 +92,19 @@ def tdist_log_likelihood(residuals, precision, mask, dof: float = TDIST_DOF):
     return 0.5 * n * logdet - 0.5 * (dof + 2.0) * jnp.sum(log_terms)
 
 
+def tdist_log_likelihood_cm(residuals_cm, precision, mask, dof: float = TDIST_DOF):
+    """Channel-major twin of :func:`tdist_log_likelihood`: residuals are
+    [2, N] (r_I, r_Z rows) so the quadratic form stays pixels-on-lanes."""
+    r_i, r_z = residuals_cm[0], residuals_cm[1]
+    p00, p01, p11 = precision[0, 0], precision[0, 1], precision[1, 1]
+    d2 = r_i * (p00 * r_i + p01 * r_z) + r_z * (p01 * r_i + p11 * r_z)
+    n = mask.sum(dtype=r_i.dtype)
+    log_terms = jnp.where(mask, jnp.log1p(d2 / dof), 0.0)
+    det = p00 * p11 - p01 * p01
+    logdet = jnp.log(jnp.maximum(det, jnp.asarray(1e-38, r_i.dtype)))
+    return 0.5 * n * logdet - 0.5 * (dof + 2.0) * jnp.sum(log_terms)
+
+
 def tdist_fixed_point(residuals, mask, num_iters: int = 10, dof: float = TDIST_DOF):
     """Standalone fixed-point iteration for the t-distribution scale
     (reference: TDistributionScaleEstimator::compute,

@@ -96,3 +96,72 @@ def distributed_gauss_newton(
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def distributed_gauss_newton_jit(graph, mesh, iterations, delta=pg.CAUCHY_DELTA):
     return distributed_gauss_newton(graph, mesh, iterations, delta)
+
+
+def distributed_gauss_newton_cg(
+    graph: pg.GraphArrays,
+    mesh: Mesh,
+    iterations: int = 10,
+    delta: float = pg.CAUCHY_DELTA,
+    axis: str = "batch",
+    cg_iterations: int = 256,
+):
+    """Edge-sharded GN whose communication is per-edge-block reductions.
+
+    Unlike :func:`distributed_gauss_newton` (which psums the full dense
+    [N, N, 6, 6] system — O(N^2) bytes per GN iteration), this variant
+    never materializes the Hessian: each shard computes its edges' 6x6
+    blocks locally and the solve is distributed block-CG, reducing ONE
+    [N, 6] partial matvec (plus one [N, 6, 6] preconditioner psum) per CG
+    iteration over ICI — the Schur-free scalable form of BASELINE.json's
+    distributed BA target.  Returns (graph, chi2_history).
+    """
+    n_dev = mesh.shape[axis]
+    e = graph.edge_i.shape[0]
+    if e % n_dev != 0:
+        raise ValueError(f"edge capacity {e} not divisible by mesh size {n_dev}")
+
+    in_specs = pg.GraphArrays(
+        poses=P(),
+        vertex_mask=P(),
+        fixed_mask=P(),
+        edge_i=P(axis),
+        edge_j=P(axis),
+        measurements=P(axis),
+        information=P(axis),
+        edge_mask=P(axis),
+        robust=P(axis),
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(in_specs,),
+        out_specs=(P(), P()),
+    )
+    def run(g: pg.GraphArrays):
+        n = g.poses.shape[0]
+        free = g.vertex_mask & ~g.fixed_mask
+
+        def body(carry, _):
+            poses = carry
+            local = g._replace(poses=poses)
+            H_ii, H_ij, H_jj, b_i, b_j, chi2 = pg.edge_blocks(local, delta)
+            b = jnp.zeros((n, 6), b_i.dtype).at[g.edge_i].add(b_i)
+            b = b.at[g.edge_j].add(b_j)
+            b = jax.lax.psum(b, axis)  # O(N) gradient reduction
+            chi2_total = jax.lax.psum(
+                jnp.sum(jnp.where(g.edge_mask, chi2, 0.0)), axis
+            )
+            delta_x = pg.solve_blocks_cg(
+                n, g.edge_i, g.edge_j, H_ii, H_ij, H_jj, -b, free,
+                iterations=cg_iterations, axis_name=axis,
+            )
+            delta_x = jnp.where(free[:, None], delta_x, 0.0)
+            return poses @ se3.exp_se3(delta_x), chi2_total
+
+        poses, history = jax.lax.scan(body, g.poses, None, length=iterations)
+        return poses, history
+
+    poses, history = run(graph)
+    return graph._replace(poses=poses), history

@@ -28,8 +28,8 @@ from ..models import dense_tracker as dt
 from ..models.dense_tracker import TrackingResult, match_pyramids
 from ..ops import pallas_kernels, robust, se3
 from ..ops.camera import Intrinsics
-from ..ops.interp import bilinear_sample_quad, build_quad_table
-from ..ops.pyramid import build_acceleration, selection_mask
+from ..ops.interp import build_quad_table_cm
+from ..ops.pyramid import build_acceleration_cm, selection_mask
 from .mesh import BATCH_AXIS, batch_sharding, replicated
 
 try:  # JAX >= 0.7 exposes shard_map at the top level
@@ -73,24 +73,13 @@ def make_pair_parallel_matcher(
 # ---------------------------------------------------------------------------
 
 
-def _warp_sample_slice(refpack_slice, quad, shape, intrinsics: Intrinsics, T):
+def _warp_sample_slice(refpack_slice, quad_cm, shape, intrinsics: Intrinsics, T):
     """Warp + sample one pixel shard: reference geometry comes from the
-    refpack channels (x, y in 4/5, z in 1), so a flat row slice is all a
-    device needs; the quad table is replicated."""
-    x, y, z = refpack_slice[:, 4], refpack_slice[:, 5], refpack_slice[:, 1]
-    pts = jnp.stack([x, y, z], axis=-1)
-    R = T[:3, :3].astype(pts.dtype)
-    t = T[:3, 3].astype(pts.dtype)
-    p = pts @ R.T + t
-    z_t = p[:, 2]
-    z_safe = jnp.where(z_t > 1e-12, z_t, 1e-12)
-    u = p[:, 0] / z_safe * intrinsics.fx + intrinsics.ox
-    v = p[:, 1] / z_safe * intrinsics.fy + intrinsics.oy
-    sampled, ok = bilinear_sample_quad(quad, shape, u, v)
-    validity = ok & (z_t > 1e-12)
-    sampled = sampled.at[:, 6].set(validity.astype(sampled.dtype))
-    sampled = sampled.at[:, 7].set(z_t)
-    return sampled
+    channel-major refpack rows (x, y in 4/5, z in 1), so a lane slice
+    [8, N_local] is all a device needs; the quad table is replicated."""
+    from ..ops.residuals import warp_and_sample_cm
+
+    return warp_and_sample_cm(refpack_slice, quad_cm, shape, intrinsics, T)
 
 
 def _match_level_sharded(cfg, intrinsics, axis, refpack, quad, shape, x0, T0, precision0):
@@ -127,8 +116,11 @@ def _match_level_sharded(cfg, intrinsics, axis, refpack, quad, shape, x0, T0, pr
         precision_new = robust.precision_from_scale(sigma)
 
         # log-likelihood: local log1p sum + psum, replicated logdet term
-        r = parts.residuals
-        d2 = jnp.einsum("ni,ij,nj->n", r, precision_new, r)
+        r_i, r_z = parts.residuals[0], parts.residuals[1]
+        p00, p01, p11 = (
+            precision_new[0, 0], precision_new[0, 1], precision_new[1, 1],
+        )
+        d2 = r_i * (p00 * r_i + p01 * r_z) + r_z * (p01 * r_i + p11 * r_z)
         local = jnp.sum(jnp.where(parts.weights > 0, jnp.log1p(d2 / dof), 0.0))
         log_sum = jax.lax.psum(local, axis)
         det = (
@@ -141,7 +133,7 @@ def _match_level_sharded(cfg, intrinsics, axis, refpack, quad, shape, x0, T0, pr
 
         full = pallas_kernels.FusedPartials(
             m00=m00, m01=m01, m11=m11, v=v, scale_sum=scale_sum,
-            num_valid=n_total, residuals=r, weights=parts.weights,
+            num_valid=n_total, residuals=parts.residuals, weights=parts.weights,
         )
         A, b = pallas_kernels.assemble_normal_equations(full, precision_new)
         return n_total.astype(jnp.int32), precision_new, ll, A, b
@@ -225,18 +217,19 @@ def make_pixel_sharded_matcher(
                 cfg.intensity_derivative_threshold,
                 cfg.depth_derivative_threshold,
             )
-            accel = build_acceleration(cur_level)
-            quad = build_quad_table(accel)
-            refpack = dt._build_refpack(ref_level, sel, k_level)
-            n = refpack.shape[0]
+            quad = build_quad_table_cm(
+                build_acceleration_cm(cur_level), cur_level.intensity.shape[1]
+            )
+            refpack = dt._build_refpack(ref_level, sel, k_level)  # [8, N]
+            n = refpack.shape[1]
             n_pad = -(-n // n_dev) * n_dev
-            refpack = jnp.pad(refpack, ((0, n_pad - n), (0, 0)))
+            refpack = jnp.pad(refpack, ((0, 0), (0, n_pad - n)))
             shape = ref_level.intensity.shape
 
             @functools.partial(
                 shard_map,
                 mesh=mesh,
-                in_specs=(P(axis), P(), P(), P(), P()),
+                in_specs=(P(None, axis), P(), P(), P(), P()),
                 out_specs=(P(), P(), P(), P(), P()),
             )
             def run_level(refpack_sharded, quad_r, x_r, T_r, precision_r):

@@ -13,11 +13,17 @@ from dvo_slam_tpu.models.dense_tracker import (
 )
 from dvo_slam_tpu.ops import pallas_kernels, robust, se3
 from dvo_slam_tpu.ops.camera import Intrinsics
-from dvo_slam_tpu.ops.pyramid import build_acceleration, build_pyramid, selection_mask
+from dvo_slam_tpu.ops.interp import build_quad_table_cm
+from dvo_slam_tpu.ops.pyramid import (
+    build_acceleration,
+    build_acceleration_cm,
+    build_pyramid,
+    selection_mask,
+)
 from dvo_slam_tpu.ops.residuals import (
     compute_residuals,
     normal_equations,
-    warp_and_sample,
+    warp_and_sample_cm,
 )
 from dvo_slam_tpu.utils import synthetic
 
@@ -41,9 +47,11 @@ def _level_pair(twist, seed=0):
 def _fused_inputs(ref, cur, T):
     sel = selection_mask(ref)
     accel = build_acceleration(cur)
-    sampled, z_t, _ = warp_and_sample(ref.depth, accel, K, jnp.asarray(T, jnp.float32))
-    sampled = sampled.at[:, 7].set(z_t)
-    refpack = _build_refpack(ref, sel, K)
+    refpack = _build_refpack(ref, sel, K)  # [8, N] channel-major
+    quad = build_quad_table_cm(build_acceleration_cm(cur), cur.intensity.shape[1])
+    sampled = warp_and_sample_cm(
+        refpack, quad, ref.intensity.shape, K, jnp.asarray(T, jnp.float32)
+    )  # [8, N]
     return sel, accel, sampled, refpack
 
 
@@ -71,7 +79,7 @@ def test_fused_xla_matches_modular_path(first_iter):
 
     assert int(parts.num_valid) == int(rd.num_valid) > 2000
     np.testing.assert_allclose(
-        np.asarray(parts.residuals), np.asarray(rd.residuals), atol=2e-5
+        np.asarray(parts.residuals).T, np.asarray(rd.residuals), atol=2e-5
     )
     np.testing.assert_allclose(
         np.asarray(parts.weights), np.asarray(w_oracle), rtol=2e-4, atol=1e-6

@@ -70,6 +70,31 @@ def test_distributed_ba_matches_single_device():
     assert err < 0.01
 
 
+def test_distributed_cg_matches_single_device():
+    """Edge-sharded GN with distributed block-CG (per-edge-block matvec
+    psums, O(N) communication) must agree with the single-device CG solver
+    — the scalable replacement for the dense [N, N, 6, 6] reduction."""
+    g1, true = _chain_graph()
+    g2, _ = _chain_graph()
+
+    single, hist_single = pg.optimize(
+        g1.to_arrays(), iterations=8, solver="cg", cg_iterations=128
+    )
+    m = mesh_lib.make_mesh(8)
+    dist, hist_dist = distributed_ba.distributed_gauss_newton_cg(
+        g2.to_arrays(), m, iterations=8, cg_iterations=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(hist_dist), np.asarray(hist_single), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.poses), np.asarray(single.poses), atol=1e-4
+    )
+    n = g1.num_vertices - 1
+    err = np.linalg.norm(np.asarray(dist.poses)[n][:3, 3] - true[n][:3, 3])
+    assert err < 0.01
+
+
 @pytest.mark.slow
 def test_pair_parallel_matcher():
     """8 frame pairs sharded over 8 devices, results match ground truth."""

@@ -1,4 +1,6 @@
-"""Close the per-frame cost accounting: glue, one full iteration, one full
+"""[SUPERSEDED by the channel-major layout refactor; kept for measurement-methodology history — see hotpath3/4 and profile_components for current probes]
+
+Close the per-frame cost accounting: glue, one full iteration, one full
 level solve, and a full real-motion match, all iteration-dependent (so XLA
 cannot hoist them out of the measuring scan) at 256 on-device reps.
 

@@ -1,4 +1,6 @@
-"""Fine-grained cost decomposition of one IRLS iteration at each level.
+"""[SUPERSEDED by the channel-major layout refactor; kept for measurement-methodology history — see hotpath3/4 and profile_components for current probes]
+
+Fine-grained cost decomposition of one IRLS iteration at each level.
 
 Times each stage of the per-iteration chain (gather, partials kernel,
 LL+scale+assemble chain, 6x6 solve + SE(3) glue) and each per-level setup

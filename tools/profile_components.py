@@ -46,14 +46,14 @@ def main():
     )
     from dvo_slam_tpu.ops import pallas_kernels, se3
     from dvo_slam_tpu.ops.camera import TUM_FR1
-    from dvo_slam_tpu.ops.interp import build_quad_table
+    from dvo_slam_tpu.ops.interp import build_quad_table_cm
     from dvo_slam_tpu.ops.pyramid import (
         build_acceleration,
         build_pyramid,
         convert_raw_depth,
         selection_mask,
     )
-    from dvo_slam_tpu.ops.residuals import warp_and_sample
+    from dvo_slam_tpu.ops.residuals import warp_and_sample_cm
     from dvo_slam_tpu.utils import synthetic
 
     cfg = dataclasses.replace(benchmark_config().tracker, kernel_backend=args.backend)
@@ -131,39 +131,40 @@ def main():
         stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
         lv_b = stack([p[level] for p in pyrs])  # batched PyramidLevel
 
+        from dvo_slam_tpu.ops.pyramid import build_acceleration_cm
+
+        lvl_w = pyrs[0][level].intensity.shape[1]
         t_accel = scanned(
-            lambda i, lv: build_quad_table(
-                build_acceleration(jax.tree.map(lambda x: x[i], lv))
+            lambda i, lv: build_quad_table_cm(
+                build_acceleration_cm(jax.tree.map(lambda x: x[i], lv)), lvl_w
             ),
             1,
         )(lv_b)
 
-        # precompute accel+quad stacks for the gather/partials stages
-        aq_fn = jax.jit(
-            lambda lv: (build_acceleration(lv), build_quad_table(build_acceleration(lv)))
+        # precompute refpack+quad stacks for the gather/partials stages
+        rq_fn = jax.jit(
+            lambda lv: (
+                _build_refpack(lv, sel_fn(lv), k),
+                build_quad_table_cm(build_acceleration_cm(lv), lvl_w),
+            )
         )
-        accels, quads = zip(*[aq_fn(p[level]) for p in pyrs])
-        accel_b, quad_b = jnp.stack(accels), jnp.stack(quads)
-        sync(accel_b), sync(quad_b)
+        rps, quads = zip(*[rq_fn(p[level]) for p in pyrs])
+        rp_b, quad_b = jnp.stack(rps), jnp.stack(quads)
+        sync(rp_b), sync(quad_b)
+        shape_l = pyrs[0][level].intensity.shape
 
-        def gather_of(i, lv, accel_b, quad_b):
-            lvl = jax.tree.map(lambda x: x[i], lv)
-            return warp_and_sample(lvl.depth, accel_b[i], k, T_small, quad=quad_b[i])[0]
+        def gather_of(i, rp_b, quad_b):
+            return warp_and_sample_cm(rp_b[i], quad_b[i], shape_l, k, T_small)
 
-        t_gather = scanned(gather_of, 3)(lv_b, accel_b, quad_b)
+        t_gather = scanned(gather_of, 2)(rp_b, quad_b)
 
         # partials kernel alone over precomputed samples
-        sam_fn = jax.jit(
-            lambda lv, accel, quad: warp_and_sample(lv.depth, accel, k, T_small, quad=quad)
-        )
-        sams, rps = [], []
-        for p, a, q in zip(pyrs, accels, quads):
-            s, z_t, _ = sam_fn(p[level], a, q)
-            s = s.at[:, 7].set(z_t)
-            rp = jax.jit(lambda lv: _build_refpack(lv, sel_fn(lv), k))(p[level])
-            sync(s), sync(rp)
-            sams.append(s), rps.append(rp)
-        sam_b, rp_b = jnp.stack(sams), jnp.stack(rps)
+        sams = []
+        for rp, q in zip(rps, quads):
+            s = jax.jit(lambda rp, q: warp_and_sample_cm(rp, q, shape_l, k, T_small))(rp, q)
+            sync(s)
+            sams.append(s)
+        sam_b = jnp.stack(sams)
         p3 = jnp.asarray([3000.0, 50.0, 2.0e5], jnp.float32)
         first = jnp.asarray(0, jnp.int32)
         kern = (
