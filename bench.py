@@ -15,6 +15,7 @@ Baseline: the reference runs at ~camera rate (30 Hz) on a desktop CPU
 (Kerl et al. ICRA'13; BASELINE.md) — vs_baseline is fps / 30.
 """
 
+import argparse
 import functools
 import json
 import time
@@ -23,6 +24,18 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mesh", type=int, default=0,
+        help="shard the multistream engine over an N-device mesh "
+        "(0 = single-device default path)",
+    )
+    ap.add_argument(
+        "--streams", type=int, default=0,
+        help="with --mesh: streams per batch (default mesh size)",
+    )
+    args = ap.parse_args()
+
     import jax
 
     # persistent executable cache: the scanned tracker is a large program
@@ -93,6 +106,41 @@ def main():
         )
         return trajectory_out
 
+    if args.mesh:
+        # multi-chip path: DP-shard B streams over an N-device mesh through
+        # the multistream engine (real multi-chip numbers are this flag
+        # away when hardware exists; on one chip --mesh 1 measures the
+        # stream-batched engine)
+        from dvo_slam_tpu.parallel.mesh import make_mesh
+        from dvo_slam_tpu.parallel.multistream import make_multistream_tracker
+
+        mesh = make_mesh(args.mesh)
+        B = args.streams or args.mesh
+        iu = np.stack([np.roll(intensity_u8, b, axis=0) for b in range(B)])
+        du = np.stack([np.roll(depth_u16, b, axis=0) for b in range(B)])
+        run = make_multistream_tracker(cfg, TUM_FR1, mesh)
+        d_i, d_d = jnp.asarray(iu), jnp.asarray(du)
+        np.asarray(d_i[0, 0, 0, 0])
+        np.asarray(run(d_i, d_d))  # compile + warm
+        variants = [d_i.at[:, :, 0, k].add(np.uint8(k + 1)) for k in range(2)]
+        for v in variants:
+            np.asarray(v[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        for vi in variants:
+            np.asarray(run(vi, d_d))
+        elapsed = (time.perf_counter() - t0) / len(variants)
+        fps = B * (num_frames - 1) / elapsed
+        print(json.dumps({
+            "metric": "aggregate_tracked_frames_per_second",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 30.0, 2),
+            "mesh_devices": args.mesh,
+            "streams": B,
+            "device": str(jax.devices()[0]),
+        }))
+        return
+
     d_int = jnp.asarray(intensity_u8)
     d_dep = jnp.asarray(depth_u16)
     np.asarray(d_int[0, 0, 0])  # force the upload (block_until_ready does
@@ -122,12 +170,33 @@ def main():
     stamps = np.arange(num_frames) / 30.0
     ate = trajectory.ate_rmse(stamps, est, stamps, poses)
 
+    # full keyframe-SLAM front end (dual match + policy + keyframe switch
+    # as one scanned program, models/streaming.py) on the same sequence
+    from dvo_slam_tpu.config import benchmark_config as _bc
+    from dvo_slam_tpu.models.streaming import StreamingSLAM
+
+    slam = StreamingSLAM(TUM_FR1, _bc())
+    force = np.zeros(num_frames, bool)
+    d_force = jnp.asarray(force)
+    init_T = jnp.eye(4, dtype=jnp.float32)
+    raw = slam._run(d_int, d_dep, d_force, init_T)
+    np.asarray(raw)  # compile + warm
+    t0 = time.perf_counter()
+    for vi in variants[:2]:
+        np.asarray(slam._run(vi, d_dep, d_force, init_T))
+    slam_fps = 2 * (num_frames - 1) / (time.perf_counter() - t0)
+    rec = np.asarray(raw)
+    slam_est = rec[:, -16:].reshape(num_frames, 4, 4).astype(np.float64)
+    slam_ate = trajectory.ate_rmse(stamps, slam_est, stamps, poses)
+
     result = {
         "metric": "tracked_frames_per_second_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 2),
         "ate_rmse_m": round(float(ate), 5),
+        "slam_frontend_fps": round(slam_fps, 2),
+        "slam_ate_rmse_m": round(float(slam_ate), 5),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

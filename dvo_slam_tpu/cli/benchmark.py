@@ -35,6 +35,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="render an N-frame synthetic sequence instead of a dataset",
     )
     p.add_argument("--mode", choices=("slam", "odometry"), default="slam")
+    p.add_argument(
+        "--engine",
+        choices=("loop", "streaming"),
+        default="loop",
+        help="slam-mode front end: per-frame host loop (the reference's "
+        "online shape) or the scanned whole-sequence device program "
+        "(models/streaming.py; the TPU-native batch shape)",
+    )
     p.add_argument("--output-dir", default=".", help="where trajectories are written")
     p.add_argument("--trajectory-file", default="trajectory.txt")
     p.add_argument("--optimized-file", default="trajectory_optimized.txt")
@@ -100,7 +108,31 @@ def main(argv=None):
     stamps, est_poses = [], []
     n_frames = len(ds) if not args.max_frames else min(len(ds), args.max_frames)
 
-    if args.mode == "slam":
+    if args.mode == "slam" and args.engine == "streaming":
+        from ..models.streaming import StreamingSLAM
+
+        iu8 = np.zeros((n_frames,) + ds[0].intensity.shape, np.uint8)
+        du16 = np.zeros_like(iu8, dtype=np.uint16)
+        for i in range(n_frames):
+            f = ds[i]
+            iu8[i] = np.clip(f.intensity, 0, 255).astype(np.uint8)
+            du16[i] = np.where(f.valid, f.depth * 5000.0, 0).astype(np.uint16)
+            stamps.append(f.timestamp)
+        ss = StreamingSLAM(intrinsics, cfg)
+        with timers.timing("match"):
+            est = ss.track_sequence(iu8, du16, np.asarray(stamps))
+        est_poses = [est[i] for i in range(n_frames)]
+        kt = ss  # trajectory/edge export below
+        opt_stamps, opt_poses = ss.trajectory()
+        w, chi2 = ss.graph.edge_errors()
+        os.makedirs(args.output_dir, exist_ok=True)
+        trajectory.write_tum_trajectory(
+            os.path.join(args.output_dir, args.optimized_file), opt_stamps, opt_poses
+        )
+        with open(os.path.join(args.output_dir, args.edge_error_file), "w") as f:
+            for wi, ci in zip(w, chi2):
+                f.write(f"{wi:.6f} {ci:.6f}\n")
+    elif args.mode == "slam":
         kt = KeyframeTracker(intrinsics, cfg)
         kt.init()
         for i in range(n_frames):

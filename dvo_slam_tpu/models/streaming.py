@@ -1,0 +1,415 @@
+"""Streaming SLAM front end: the keyframe tracking loop as ONE device program.
+
+The reference's front end is a per-frame host loop (LocalTracker::update,
+local_tracker.cpp:157-216, driven at camera rate).  On TPU a per-frame
+host round trip dominates the budget, so the whole steady-state loop —
+pyramid build, prepare, dual keyframe/odometry match, the keyframe-accept
+policy, and the keyframe SWITCH itself — runs inside one ``lax.scan``:
+
+  * carried state holds the PREPARED keyframe and last frame (switching
+    keyframes is a masked select of the carried pytree, the TPU-native
+    form of the reference's pointer swap, local_tracker.cpp:200-213);
+  * the accept criteria (keyframe_tracker.cpp:105-195) are evaluated on
+    device as pure arithmetic on the match statistics;
+  * each frame emits a flat record (accept/divergence flags, both
+    rewritten results, the pose) — ONE download for the whole sequence.
+
+The host then REPLAYS the recorded decisions through the existing
+LocalMap/KeyframeGraph back end (models/keyframe_graph.py): the graph
+bookkeeping, loop-closure search, validation waves, and optimization are
+per-keyframe work the reference itself runs on a background thread
+(keyframe_graph.cpp:401-432 — SURVEY.md 2.5 P5), so the front-end scan is
+the throughput-critical path and the replay consumes its records without
+re-deciding anything.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..ops.camera import Intrinsics
+from ..ops.pyramid import build_pyramid, convert_raw_depth
+from .dense_tracker import PreparedFrame, match_prepared, prepare_frame
+from .frames import Frame
+from .keyframe_graph import KeyframeGraph
+from .local_map import LocalMap
+
+# Per-result flat block: 16 (T) + 36 (info) + 1 (nll) + 2 (n, pixels)
+_RES = 55
+
+
+class _State(NamedTuple):
+    kf: PreparedFrame
+    last: PreparedFrame
+    kf_pose: jnp.ndarray  # [4, 4] keyframe world pose
+    last_pose: jnp.ndarray  # [4, 4] last frame world pose
+    last_to_kf: jnp.ndarray  # [4, 4] policy state (keyframe_tracker.cpp:123-158)
+    last_kf_estimate: jnp.ndarray  # [4, 4] warm start for the keyframe match
+    eval_first: jnp.ndarray  # [] first -nll of the current local map
+
+
+def _flat_res(T, info, nll, n, pixels):
+    return jnp.concatenate(
+        [
+            T.reshape(16),
+            info.reshape(36),
+            nll[None],
+            n.astype(jnp.float32)[None],
+            pixels.astype(jnp.float32)[None],
+        ]
+    )
+
+
+class FrameRecord(NamedTuple):
+    """Host-side decode of one frame's record."""
+
+    accept: bool
+    diverged: bool
+    forced: bool
+    entropy_ratio: float
+    kf_T: np.ndarray
+    kf_info: np.ndarray
+    kf_nll: float
+    kf_n: int
+    kf_pixels: int
+    odo_T: np.ndarray
+    odo_info: np.ndarray
+    odo_nll: float
+    odo_n: int
+    odo_pixels: int
+    pose: np.ndarray
+
+
+def _decode(row: np.ndarray) -> FrameRecord:
+    k = row[4 : 4 + _RES]
+    o = row[4 + _RES : 4 + 2 * _RES]
+    return FrameRecord(
+        accept=bool(row[0] > 0.5),
+        diverged=bool(row[1] > 0.5),
+        forced=bool(row[2] > 0.5),
+        entropy_ratio=float(row[3]),
+        kf_T=k[:16].reshape(4, 4).astype(np.float64),
+        kf_info=k[16:52].reshape(6, 6).astype(np.float64),
+        kf_nll=float(k[52]),
+        kf_n=int(k[53]),
+        kf_pixels=int(k[54]),
+        odo_T=o[:16].reshape(4, 4).astype(np.float64),
+        odo_info=o[16:52].reshape(6, 6).astype(np.float64),
+        odo_nll=float(o[52]),
+        odo_n=int(o[53]),
+        odo_pixels=int(o[54]),
+        pose=row[4 + 2 * _RES :].reshape(4, 4).astype(np.float64),
+    )
+
+
+def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics):
+    """jit-compiled whole-sequence keyframe front end.
+
+    Returns ``run(intensity_u8 [T,H,W], depth_u16 [T,H,W],
+    force [T] bool, init_T [4,4]) -> records [T, 4+2*55+16]`` — rows 0/1
+    cover the bootstrap frames (keyframe_tracker.cpp:227-246).
+    """
+    tcfg = cfg.tracker
+    kcfg = cfg.keyframe
+
+    def build(iu8, du16):
+        depth, valid = convert_raw_depth(du16)
+        return build_pyramid(
+            iu8.astype(jnp.float32), depth, valid, tcfg.num_levels,
+            skip_below=tcfg.last_level,
+        )
+
+    prep = functools.partial(prepare_frame, tcfg, intrinsics)
+    match = functools.partial(match_prepared, tcfg, intrinsics)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    info_reset = jnp.eye(6, dtype=jnp.float32) * (0.008 * 0.008)
+
+    def res_of(r):
+        return (
+            r.transformation,
+            r.information,
+            r.neg_log_likelihood,
+            r.last_level.valid_constraints,
+            r.last_level.valid_pixels,
+        )
+
+    def step(state: _State, inputs):
+        iu8, du16, force_flag = inputs
+        cur = prep(build(iu8, du16))
+        init = state.last_kf_estimate if tcfg.use_initial_estimate else None
+        r_kf = match(state.kf, cur, init)
+        r_odo = match(state.last, cur, None)
+        kf_T, kf_info, kf_nll, kf_n, kf_pix = res_of(r_kf)
+        odo_T, odo_info, odo_nll, odo_n, odo_pix = res_of(r_odo)
+
+        nan = ~(jnp.isfinite(kf_T).all() & jnp.isfinite(odo_T).all())
+        force = force_flag | nan
+
+        # criterion 1: entropy ratio vs the map's first frame (:105-121)
+        ratio = -kf_nll / state.eval_first
+        c1 = ratio > kcfg.min_entropy_ratio
+
+        # criterion 2: divergence rejection with result rewriting (:123-158)
+        odo_t = jnp.linalg.norm(odo_T[:3, 3])
+        kf_t = jnp.linalg.norm(kf_T[:3, 3])
+        diverged = (odo_t > 0.1) | (kf_t > 1.5 * kcfg.max_translational_distance)
+        odo_T = jnp.where(diverged, eye, odo_T)
+        odo_info = jnp.where(diverged, info_reset, odo_info)
+        kf_T = jnp.where(diverged, state.last_to_kf.astype(kf_T.dtype), kf_T)
+        new_last_to_kf = kf_T
+
+        # criterion 3: translational distance on the REWRITTEN result (:160-163)
+        c3 = jnp.linalg.norm(kf_T[:3, 3]) < kcfg.max_translational_distance
+
+        # criterion 4: constraint ratio (:165-168)
+        c4 = (
+            kf_n.astype(jnp.float32) / jnp.maximum(kf_pix.astype(jnp.float32), 1.0)
+            > kcfg.min_equation_system_constraint_ratio
+        )
+
+        accept = c1 & ~diverged & c3 & c4 & ~force
+
+        # keyframe switch: on reject the old last frame becomes the new
+        # keyframe and `cur` starts the new map seeded by the odometry
+        # result (local_tracker.cpp:200-213; NaN -> identity reset :141-148)
+        switch_T = jnp.where(jnp.isfinite(odo_T).all(), odo_T, eye)
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(accept, x, y), a, b
+        )
+        new_state = _State(
+            kf=sel(state.kf, state.last),
+            last=cur,
+            kf_pose=jnp.where(accept, state.kf_pose, state.last_pose),
+            last_pose=jnp.where(
+                accept, state.kf_pose @ kf_T, state.last_pose @ switch_T
+            ),
+            last_to_kf=jnp.where(accept, new_last_to_kf, switch_T),
+            last_kf_estimate=jnp.where(accept, kf_T, switch_T),
+            eval_first=jnp.where(accept, state.eval_first, -odo_nll),
+        )
+        record = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        accept.astype(jnp.float32),
+                        diverged.astype(jnp.float32),
+                        force.astype(jnp.float32),
+                        ratio,
+                    ]
+                ),
+                _flat_res(kf_T, kf_info, kf_nll, kf_n, kf_pix),
+                _flat_res(odo_T, odo_info, odo_nll, odo_n, odo_pix),
+                new_state.last_pose.reshape(16),
+            ]
+        )
+        return new_state, record
+
+    @jax.jit
+    def run(intensity_u8, depth_u16, force, init_T):
+        f0 = prep(build(intensity_u8[0], depth_u16[0]))
+        f1 = prep(build(intensity_u8[1], depth_u16[1]))
+        # bootstrap: second frame initializes the first local map
+        # (keyframe_tracker.cpp:227-246 -> local_tracker.cpp:127-155)
+        r0 = match(f0, f1, None)
+        T0, info0, nll0, n0, pix0 = res_of(r0)
+        ok0 = jnp.isfinite(T0).all()
+        T0m = jnp.where(ok0, T0, eye)
+        init_T = init_T.astype(jnp.float32)
+        state = _State(
+            kf=f0,
+            last=f1,
+            kf_pose=init_T,
+            last_pose=init_T @ T0m,
+            last_to_kf=T0,
+            last_kf_estimate=T0,
+            eval_first=-nll0,
+        )
+        zeros = jnp.zeros(_RES, jnp.float32)
+        rec0 = jnp.concatenate(
+            [jnp.zeros(4, jnp.float32), zeros, zeros, init_T.reshape(16)]
+        )
+        rec1 = jnp.concatenate(
+            [
+                jnp.asarray([1.0, 0.0, 0.0, 1.0], jnp.float32),
+                _flat_res(T0m, jnp.where(ok0, info0, jnp.eye(6, dtype=jnp.float32)), nll0, n0, pix0),
+                zeros,
+                state.last_pose.reshape(16),
+            ]
+        )
+        _, records = jax.lax.scan(
+            step, state, (intensity_u8[2:], depth_u16[2:], force[2:])
+        )
+        return jnp.concatenate([rec0[None], rec1[None], records], axis=0)
+
+    return run
+
+
+class _StubFrame:
+    """Timestamp-only stand-in for intermediate frames in the replayed
+    LocalMap (the reference also only keeps vertices + timestamps for
+    non-keyframe frames, keyframe_graph.cpp:759-772)."""
+
+    __slots__ = ("timestamp", "index", "levels")
+
+    def __init__(self, timestamp: float, index: int):
+        self.timestamp = timestamp
+        self.index = index
+        self.levels = None
+
+
+class _ReplayEvaluation:
+    """LogLikelihoodEvaluation reconstructed from recorded values
+    (tracking_result_evaluation.cpp:26-62 semantics)."""
+
+    def __init__(self, first_value: float):
+        self._first = first_value
+        self._average = first_value
+        self._n = 1.0
+
+    def add_value(self, v: float):
+        self._average += v
+        self._n += 1.0
+
+    # the voters' interface (constraint_proposal_voter.cpp:101-121)
+    def value(self, r) -> float:
+        return -float(r.neg_log_likelihood)
+
+    def ratio_with_first(self, r) -> float:
+        return self.value(r) / self._first
+
+    def ratio_with_average(self, r) -> float:
+        return self.value(r) / self._average * self._n
+
+
+class StreamingSLAM:
+    """Batch SLAM driver: scanned front end + replayed back end.
+
+    ``track_sequence`` runs the whole front end as one device program,
+    then replays the recorded per-frame decisions through the standard
+    KeyframeGraph (loop closures, optimization schedules and all).
+    """
+
+    def __init__(self, intrinsics: Intrinsics, cfg: Optional[SlamConfig] = None):
+        self.cfg = cfg or SlamConfig()
+        self.intrinsics = intrinsics
+        self._run = make_streaming_frontend(self.cfg, intrinsics)
+        self.graph = KeyframeGraph(intrinsics, self.cfg.graph, self.cfg.tracker)
+        self.records: List[FrameRecord] = []
+
+    def track_frontend(self, intensity_u8, depth_u16, initial=None, force_last=True):
+        """Run only the device front end; returns (records, poses [T,4,4]).
+
+        This is the throughput-critical path (what the bench measures);
+        the back end consumes the records asynchronously (the reference's
+        optimizer-thread split, SURVEY.md 2.5 P5).
+        """
+        t = intensity_u8.shape[0]
+        force = np.zeros(t, bool)
+        if force_last:
+            force[-1] = True  # benchmark_slam.cpp:477-481
+        init_T = (
+            np.eye(4, dtype=np.float32)
+            if initial is None
+            else np.asarray(initial, np.float32)
+        )
+        raw = np.asarray(
+            self._run(
+                jnp.asarray(intensity_u8),
+                jnp.asarray(depth_u16),
+                jnp.asarray(force),
+                jnp.asarray(init_T),
+            )
+        )
+        records = [_decode(raw[i]) for i in range(t)]
+        poses = np.stack([r.pose for r in records])
+        return records, poses
+
+    def track_sequence(
+        self,
+        intensity_u8,
+        depth_u16,
+        timestamps,
+        initial=None,
+        force_last=True,
+        finish=True,
+    ):
+        """Front end + replayed back end; returns online poses [T, 4, 4]."""
+        records, poses = self.track_frontend(
+            intensity_u8, depth_u16, initial, force_last
+        )
+        self.records = records
+        self._replay(records, intensity_u8, depth_u16, timestamps)
+        if finish:
+            self.graph.final_optimization()
+        return poses
+
+    def _frame(self, intensity_u8, depth_u16, timestamps, i) -> Frame:
+        depth = np.asarray(depth_u16[i], np.float32) / 5000.0
+        valid = np.asarray(depth_u16[i]) > 0
+        return Frame.from_arrays(
+            np.asarray(intensity_u8[i], np.float32),
+            np.where(valid, depth, 0.0),
+            valid,
+            timestamps[i],
+            self.cfg.tracker.num_levels,
+        )
+
+    def _replay(self, records, intensity_u8, depth_u16, timestamps):
+        """Rebuild the local maps / keyframe graph from the records —
+        every decision comes from the device scan, nothing is re-decided."""
+        mk = lambda i: self._frame(intensity_u8, depth_u16, timestamps, i)
+        t = len(records)
+        if t < 2:
+            return
+        kf_index = 0
+        local_map = LocalMap.create(mk(0), records[0].pose)
+        local_map.add_frame(_StubFrame(timestamps[1], 1))
+        r1 = records[1]
+        local_map.add_keyframe_measurement(r1.kf_T, r1.kf_info)
+        evaluation = _ReplayEvaluation(-r1.kf_nll)
+        kcfg = self.cfg.keyframe
+
+        for i in range(2, t):
+            rec = records[i]
+            if rec.accept:
+                local_map.add_frame(_StubFrame(timestamps[i], i))
+                local_map.add_odometry_measurement(rec.odo_T, rec.odo_info)
+                local_map.add_keyframe_measurement(rec.kf_T, rec.kf_info)
+                # evaluation side effect order matches keyframe_tracker.cpp:105-121
+                if rec.entropy_ratio > kcfg.min_entropy_ratio:
+                    evaluation.add_value(-rec.kf_nll)
+            else:
+                new_kf_index = getattr(
+                    local_map.current_frame, "index", kf_index
+                )
+                local_map.evaluation = evaluation
+                # the completed map's current frame must be a REAL frame:
+                # it becomes the next keyframe in the graph
+                local_map.current_frame = mk(new_kf_index)
+                self.graph.add(local_map)
+                # the new map anchors at the previous frame's pose
+                # (local_tracker.cpp:200-213)
+                old_pose = records[i - 1].pose
+                local_map = LocalMap.create(mk(new_kf_index), old_pose)
+                local_map.add_frame(_StubFrame(timestamps[i], i))
+                local_map.add_keyframe_measurement(
+                    rec.odo_T if np.isfinite(rec.odo_T).all() else np.eye(4),
+                    rec.odo_info,
+                )
+                evaluation = _ReplayEvaluation(-rec.odo_nll)
+                kf_index = new_kf_index
+        # flush the tail map (KeyframeTracker.finish semantics)
+        if local_map.num_frames > 0:
+            local_map.evaluation = evaluation
+            idx = getattr(local_map.current_frame, "index", kf_index)
+            local_map.current_frame = mk(idx)
+            self.graph.add(local_map)
+
+    def trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.graph.trajectory()

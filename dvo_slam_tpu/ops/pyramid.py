@@ -99,22 +99,64 @@ def _masked_central_diff(depth, valid):
     return zdx, zdy, zdx_valid & zdy_valid
 
 
+def _mean_operators(h, w, dtype):
+    """0.5-weighted two-hot averaging matrices for the 2x2 mean downsample
+    (same MXU-decimation rationale as _decimation_operators)."""
+    h2, w2 = h // 2, w // 2
+    i2 = jnp.arange(h2)
+    rows = (
+        jnp.zeros((h2, h), dtype)
+        .at[i2, 2 * i2].set(0.5)
+        .at[i2, 2 * i2 + 1].set(0.5)
+    )
+    j2 = jnp.arange(w2)
+    cols = (
+        jnp.zeros((w, w2), dtype)
+        .at[2 * j2, j2].set(0.5)
+        .at[2 * j2 + 1, j2].set(0.5)
+    )
+    return rows, cols
+
+
 def downsample_intensity(img):
-    """2x2 mean downsample (pyrDownMeanSmooth, rgbd_image.cpp:38-55)."""
+    """2x2 mean downsample (pyrDownMeanSmooth, rgbd_image.cpp:38-55),
+    expressed as row/column averaging matmuls in full f32 (see
+    downsample_depth for the layout + precision rationale)."""
     h, w = img.shape
-    return img[: h - h % 2, : w - w % 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    rows, cols = _mean_operators(h, w, img.dtype)
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    return mm(mm(rows, img), cols)
+
+
+def _decimation_operators(h, w, dtype):
+    """One-hot row/column decimation matrices (pick every even pixel).
+
+    Stride-2 slicing on the TPU lane axis lowers to a slow cross-lane
+    gather (~0.8 ms for a 480x640 slice — measured, the single largest
+    per-frame cost in the scanned tracker); as matmuls the MXU does the
+    same decimation in microseconds.  The operators are constants, hoisted
+    out of any scan/loop by XLA."""
+    h2, w2 = h // 2, w // 2
+    rows = jnp.zeros((h2, h), dtype).at[jnp.arange(h2), 2 * jnp.arange(h2)].set(1)
+    cols = jnp.zeros((w, w2), dtype).at[2 * jnp.arange(w2), jnp.arange(w2)].set(1)
+    return rows, cols
 
 
 def downsample_depth(depth, valid):
     """Subsample every second pixel (pyrDownSubsample, rgbd_image.cpp:127-139
     — chosen for depth at rgbd_image.cpp:167-169 to avoid mixing surfaces).
     Output is floor(h/2) x floor(w/2), matching the mean downsampler on
-    odd-sized levels."""
+    odd-sized levels.  Expressed as one-hot matmul decimation (exact pick
+    of the even pixels) — see _decimation_operators for why not slicing."""
     h, w = depth.shape
-    return (
-        depth[: h - h % 2 : 2, : w - w % 2 : 2],
-        valid[: h - h % 2 : 2, : w - w % 2 : 2],
-    )
+    rows, cols = _decimation_operators(h, w, depth.dtype)
+    # precision=HIGHEST: the MXU's default bf16 passes would truncate the
+    # depth VALUES (bf16 quantizes 2.4 m to ~8 mm steps); highest runs the
+    # one-hot products in full f32, making the decimation bit-exact
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    depth_d = mm(mm(rows, depth), cols)
+    valid_d = mm(mm(rows, valid.astype(depth.dtype)), cols) > 0.5
+    return depth_d, valid_d
 
 
 def make_level(intensity, depth, valid) -> PyramidLevel:

@@ -1,0 +1,140 @@
+"""Streaming (scanned) SLAM front end vs the per-frame KeyframeTracker:
+same decisions, same trajectory, same graph shape."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dvo_slam_tpu.config import GraphConfig, KeyframeConfig, SlamConfig, TrackerConfig
+from dvo_slam_tpu.models.keyframe_tracker import KeyframeTracker
+from dvo_slam_tpu.models.streaming import StreamingSLAM
+from dvo_slam_tpu.ops.camera import Intrinsics
+from dvo_slam_tpu.utils import synthetic, trajectory
+
+K = Intrinsics(160.0, 160.0, 79.5, 59.5)
+SHAPE = (120, 160)
+
+CFG = SlamConfig(
+    tracker=TrackerConfig(
+        first_level=2,
+        last_level=0,
+        max_iterations_per_level=30,
+        precision=1e-4,
+        use_initial_estimate=True,
+    ),
+    keyframe=KeyframeConfig(
+        max_translational_distance=0.08,
+        min_entropy_ratio=0.6,
+        min_equation_system_constraint_ratio=0.3,
+    ),
+    graph=GraphConfig(
+        new_constraint_search_radius=5.0,
+        new_constraint_min_entropy_ratio_coarse=0.03,
+        new_constraint_min_entropy_ratio_fine=0.3,
+        min_equation_system_constraint_ratio=0.3,
+        optimization_iterations=20,
+        final_optimization_iterations=100,
+        optimization_remove_outliers=True,
+        optimization_outlier_weight_threshold=0.1,
+        final_optimization_remove_outliers=True,
+        final_optimization_outlier_weight_threshold=0.1,
+    ),
+)
+
+
+def _raw_sequence(poses):
+    t = len(poses)
+    iu8 = np.zeros((t,) + SHAPE, np.uint8)
+    du16 = np.zeros((t,) + SHAPE, np.uint16)
+    for i, pose in enumerate(poses):
+        intensity, depth, valid = synthetic.render_frame(
+            pose, K, SHAPE, seed=i, depth_noise=0.002, intensity_noise=1.0
+        )
+        iu8[i] = np.clip(intensity, 0, 255).astype(np.uint8)
+        du16[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
+    return iu8, du16
+
+
+@pytest.mark.slow
+def test_streaming_matches_keyframe_tracker():
+    """The scanned front end must make the same keyframe decisions and
+    produce the same trajectory as the per-frame host loop."""
+    poses = synthetic.circular_trajectory(20, radius=0.06, rot_amplitude=0.03)
+    iu8, du16 = _raw_sequence(poses)
+    stamps = np.arange(len(poses)) / 30.0
+
+    # reference: the per-frame host loop (no forced last keyframe so both
+    # paths see identical inputs; finish() flushes the tail map in both)
+    kt = KeyframeTracker(K, CFG)
+    kt.init()
+    est_ref = []
+    for i in range(len(poses)):
+        depth = np.where(du16[i] > 0, du16[i].astype(np.float32) / 5000.0, 0.0)
+        f = kt.make_frame(
+            iu8[i].astype(np.float32), depth, du16[i] > 0, stamps[i]
+        )
+        est_ref.append(np.asarray(kt.update(f), np.float64))
+    est_ref = np.asarray(est_ref)
+
+    ss = StreamingSLAM(K, CFG)
+    records, est_stream = ss.track_frontend(iu8, du16, force_last=False)
+
+    # same online trajectory (both tracks warm-start identically)
+    np.testing.assert_allclose(est_stream, est_ref, atol=2e-3)
+
+    # same accept/switch pattern: each switch completes one local map
+    # (-> one keyframe), plus the tail-map flush at finish()
+    n_switches = sum(1 for r in records[2:] if not r.accept)
+    kt.finish()
+    assert len(kt.graph.keyframes) == n_switches + 1
+
+    # full replayed pipeline: graph trajectory covers every frame and the
+    # optimized ATE matches ground truth
+    ss2 = StreamingSLAM(K, CFG)
+    est2 = ss2.track_sequence(iu8, du16, stamps, force_last=False)
+    g_stamps, g_poses = ss2.trajectory()
+    assert len(g_stamps) == len(poses)
+    ate_graph = trajectory.ate_rmse(g_stamps, g_poses, stamps, poses)
+    assert ate_graph < 0.01, ate_graph
+    ate_online = trajectory.ate_rmse(stamps, est2, stamps, poses)
+    assert ate_online < 0.01, ate_online
+
+
+def test_streaming_smoke_tiny():
+    """Fast-tier: tiny-resolution streaming SLAM end to end."""
+    k_tiny = Intrinsics(40.0, 40.0, 19.5, 14.5)
+    shape = (30, 40)
+    cfg = SlamConfig(
+        tracker=TrackerConfig(
+            first_level=1, last_level=0, max_iterations_per_level=15,
+            precision=1e-4, use_initial_estimate=True,
+        ),
+        keyframe=KeyframeConfig(
+            max_translational_distance=0.05,
+            min_entropy_ratio=0.5,
+            min_equation_system_constraint_ratio=0.1,
+        ),
+        graph=GraphConfig(
+            new_constraint_search_radius=5.0,
+            new_constraint_min_entropy_ratio_coarse=0.03,
+            new_constraint_min_entropy_ratio_fine=0.3,
+            min_equation_system_constraint_ratio=0.1,
+            optimization_iterations=10,
+            final_optimization_iterations=20,
+        ),
+    )
+    poses = synthetic.circular_trajectory(10, radius=0.04, rot_amplitude=0.02)
+    t = len(poses)
+    iu8 = np.zeros((t, *shape), np.uint8)
+    du16 = np.zeros((t, *shape), np.uint16)
+    for i, pose in enumerate(poses):
+        intensity, depth, valid = synthetic.render_frame(pose, k_tiny, shape, seed=i)
+        iu8[i] = np.clip(intensity, 0, 255).astype(np.uint8)
+        du16[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
+    stamps = np.arange(t) / 30.0
+    ss = StreamingSLAM(k_tiny, cfg)
+    est = ss.track_sequence(iu8, du16, stamps)
+    ate = trajectory.ate_rmse(stamps, est, stamps, poses)
+    assert np.isfinite(ate) and ate < 0.05, ate
+    g_stamps, g_poses = ss.trajectory()
+    assert len(g_stamps) == t
