@@ -117,6 +117,58 @@ def export_point_cloud_ply(
             f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {g} {g} {g}\n")
 
 
+def export_edge_error_images(
+    out_dir: str,
+    keyframe_graph,
+    intrinsics,
+    worst_k: int = 5,
+    level: int = 0,
+):
+    """Per-edge intensity-error-image drill-down for the worst loop
+    closures — the headless form of the reference GraphVisualizer's
+    context-menu inspection (graph_visualizer.cpp:46-68: clicking a
+    chi2-colored edge renders its intensity error image).
+
+    Ranks active robustified edges by chi2, warps one keyframe into the
+    other with the edge's measurement, and writes
+    ``edge_<i>_<j>_chi2_<value>.png`` heatmaps.  Returns the written paths.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from ..ops.warp import intensity_error_image
+
+    g = keyframe_graph.graph
+    w, chi2 = keyframe_graph.edge_errors()
+    by_id = {k.id: k for k in keyframe_graph.keyframes}
+    idx_of = {g.vertex_index(("kf", kid)): kid for kid in by_id}
+    candidates = []
+    for k in range(g.num_edges):
+        if not (g.edge_active[k] and g.robust[k]):
+            continue
+        i, j = int(g.edge_i[k]), int(g.edge_j[k])
+        if i in idx_of and j in idx_of:
+            candidates.append((float(chi2[k]), k, idx_of[i], idx_of[j]))
+    candidates.sort(reverse=True)
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for c2, k, ki, kj in candidates[:worst_k]:
+        kf_i, kf_j = by_id[ki], by_id[kj]
+        if kf_i.frame.levels is None or kf_j.frame.levels is None:
+            continue
+        lv_i = kf_i.frame.levels[level]
+        lv_j = kf_j.frame.levels[level]
+        T = jnp.asarray(g.measurements[k], jnp.float32)
+        err, ok = intensity_error_image(
+            lv_i, lv_j, intrinsics.at_level(level), T
+        )
+        path = os.path.join(out_dir, f"edge_{ki}_{kj}_chi2_{c2:.3f}.png")
+        save_error_image(path, np.asarray(err), np.asarray(ok))
+        written.append(path)
+    return written
+
+
 def save_error_image(path: str, error: np.ndarray, valid: np.ndarray):
     """Save an intensity-error heatmap (computeIntensityErrorImage output)."""
     plt = _plt()
