@@ -28,3 +28,9 @@ sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent executable cache: the suite is compile-dominated (tiny data,
+# many jit programs); cached executables make repeat runs (and the smoke
+# tier) several times faster.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
