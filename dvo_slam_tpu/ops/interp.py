@@ -12,9 +12,40 @@ still NaN, so even zero-weight neighbors poison a sample there).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 VALID_CHANNEL = 6
+
+
+@jax.custom_batching.custom_vmap
+def gather_columns(table, idx):
+    """One column per index: table [C, N], idx [M] -> [C, M].
+
+    Wrapped in custom_vmap because XLA lowers the naively-batched gather
+    ([B, C, N] operand + [B, M] indices) ~6x slower per row on TPU
+    (measured on the multistream engine); the batching rule below rewrites
+    it as ONE flat gather over [C, B*N] with offset indices — the flatten
+    transpose is loop-invariant and hoists out of solver loops.
+    """
+    return table[:, idx]
+
+
+@gather_columns.def_vmap
+def _gather_columns_vmap(axis_size, in_batched, table, idx):
+    table_b, idx_b = in_batched
+    if table_b and idx_b:
+        b, c, n = table.shape
+        flat = jnp.swapaxes(table, 0, 1).reshape(c, b * n)
+        gidx = (idx + (jnp.arange(b, dtype=idx.dtype) * n)[:, None]).reshape(-1)
+        out = flat[:, gidx].reshape(c, b, idx.shape[1])
+        return jnp.swapaxes(out, 0, 1), True
+    if idx_b:  # shared table, batched indices
+        c = table.shape[0]
+        out = table[:, idx.reshape(-1)].reshape(c, axis_size, idx.shape[1])
+        return jnp.swapaxes(out, 0, 1), True
+    # batched table, shared indices
+    return table[:, :, idx], True
 
 
 def bilinear_sample_accel(accel, u, v):
@@ -146,7 +177,7 @@ def bilinear_sample_quad_cm(quad_cm, shape, u, v):
     y0w = 1.0 - y1w
 
     idx = y0.astype(jnp.int32) * w + x0.astype(jnp.int32)
-    cols = quad_cm[:, jnp.clip(idx, 0, quad_cm.shape[1] - 1)]  # [32, N]
+    cols = gather_columns(quad_cm, jnp.clip(idx, 0, quad_cm.shape[1] - 1))  # [32, N]
     a00, a10, a01, a11 = cols[:8], cols[8:16], cols[16:24], cols[24:32]
 
     values = (a00 * x0w + a10 * x1w) * y0w + (a01 * x0w + a11 * x1w) * y1w
