@@ -93,6 +93,48 @@ def warp_depth_forward(depth, valid, intrinsics: Intrinsics, T):
     return jnp.where(out_valid, zbuf, 0.0).reshape(h, w), out_valid.reshape(h, w)
 
 
+def warp_intensity_forward(intensity, depth, valid, intrinsics: Intrinsics, T):
+    """Push reference intensity into the target view (warpIntensityForward,
+    rgbd_image.cpp:655-716: project each valid-depth pixel and write its
+    intensity at the floor pixel).  The reference resolves collisions by
+    scan order (last writer wins — effectively arbitrary); here collisions
+    resolve by nearest depth (z-buffer), the deterministic choice.
+    Returns (intensity [H, W], valid [H, W]) in the target view."""
+    h, w = depth.shape
+    n = h * w
+    dtype = depth.dtype
+    points = unproject(depth, intrinsics).reshape(n, 3)
+    R = T[:3, :3].astype(dtype)
+    t = T[:3, 3].astype(dtype)
+    p = points @ R.T + t
+    z = p[:, 2]
+    z_safe = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    u = jnp.floor(p[:, 0] / z_safe * intrinsics.fx + intrinsics.ox).astype(jnp.int32)
+    v = jnp.floor(p[:, 1] / z_safe * intrinsics.fy + intrinsics.oy).astype(jnp.int32)
+    ok = (
+        valid.reshape(n)
+        & (depth.reshape(n) > 1e-6)
+        & (z > 1e-12)
+        & (u >= 0)
+        & (u < w)
+        & (v >= 0)
+        & (v < h)
+    )
+    idx = jnp.where(ok, v * w + u, 0)
+    big = jnp.asarray(jnp.inf, dtype)
+    zbuf = jnp.full(n, big, dtype).at[idx].min(jnp.where(ok, z, big))
+    # second pass: the winning source writes its intensity
+    wins = ok & (z <= zbuf[idx])
+    out = jnp.zeros(n, intensity.dtype).at[jnp.where(wins, idx, 0)].max(
+        jnp.where(wins, intensity.reshape(n), 0.0)
+    )
+    out_valid = jnp.isfinite(zbuf)
+    return (
+        jnp.where(out_valid, out, 0.0).reshape(h, w),
+        out_valid.reshape(h, w),
+    )
+
+
 def warp_depth_forward_advanced(
     depth, valid, intrinsics: Intrinsics, T, max_footprint: int = 4
 ):

@@ -105,3 +105,66 @@ def test_visualization_outputs(tmp_path):
     err = np.abs(np.random.default_rng(0).normal(0, 5, SHAPE)).astype(np.float32)
     visualization.save_error_image(str(tmp_path / "err.png"), err, np.ones(SHAPE, bool))
     assert (tmp_path / "err.png").stat().st_size > 1000
+
+
+def test_forward_intensity_warp_roundtrip():
+    """Forward-warping intensity by T then comparing against the rendered
+    view at T (warpIntensityForward parity; collisions resolve by nearest
+    depth instead of the reference's scan order)."""
+    import jax.numpy as jnp
+
+    T = np.asarray(se3.exp_se3(jnp.asarray([0.02, 0.01, 0.0, 0.0, 0.0, 0.01])))
+    ref = _levels(np.eye(4))
+    tgt = _levels(T)
+    warped, valid = warp.warp_intensity_forward(
+        ref.intensity, ref.depth, ref.valid, K, jnp.asarray(np.linalg.inv(T), jnp.float32)
+    )
+    both = np.asarray(valid) & np.asarray(tgt.valid)
+    assert both.mean() > 0.4
+    err = np.abs(np.asarray(warped) - np.asarray(tgt.intensity))[both]
+    # nearest-pixel splatting aliases by up to half a pixel of texture
+    # gradient (the reference's forward warp does too) — gate accordingly
+    assert np.median(err) < 6.0, np.median(err)
+    assert np.percentile(err, 25) < 3.0
+
+
+def test_edge_error_image_export(tmp_path):
+    """export_edge_error_images writes per-edge drill-down heatmaps for
+    the worst loop closures (GraphVisualizer context-menu parity)."""
+    from dvo_slam_tpu.config import GraphConfig, KeyframeConfig, SlamConfig, TrackerConfig
+    from dvo_slam_tpu.models.keyframe_tracker import KeyframeTracker
+    from dvo_slam_tpu.models.frames import Frame
+    import jax.numpy as jnp
+
+    k = Intrinsics(40.0, 40.0, 19.5, 14.5)
+    cfg = SlamConfig(
+        tracker=TrackerConfig(first_level=1, last_level=0,
+                              max_iterations_per_level=15, precision=1e-4,
+                              use_initial_estimate=True),
+        keyframe=KeyframeConfig(max_translational_distance=0.04,
+                                min_entropy_ratio=0.5,
+                                min_equation_system_constraint_ratio=0.1),
+        graph=GraphConfig(new_constraint_search_radius=5.0,
+                          new_constraint_min_entropy_ratio_coarse=0.03,
+                          new_constraint_min_entropy_ratio_fine=0.3,
+                          min_equation_system_constraint_ratio=0.1,
+                          optimization_iterations=10,
+                          final_optimization_iterations=20),
+    )
+    poses = synthetic.circular_trajectory(10, radius=0.05, rot_amplitude=0.02)
+    kt = KeyframeTracker(k, cfg)
+    kt.init()
+    for i, pose in enumerate(poses):
+        intensity, depth, valid = synthetic.render_frame(pose, k, (30, 40), seed=i)
+        kt.update(Frame.from_arrays(intensity, depth, valid, i / 30.0,
+                                    cfg.tracker.num_levels))
+    kt.force_keyframe()
+    kt.finish()
+    written = visualization.export_edge_error_images(
+        str(tmp_path), kt.graph, k, worst_k=3
+    )
+    if written:  # loop closures found: files exist and are real images
+        for p in written:
+            assert os.path.getsize(p) > 1000
+    else:  # tiny scene may produce no robust edges; graph must still exist
+        assert len(kt.graph.keyframes) >= 1
