@@ -160,8 +160,23 @@ class ConstraintProposalValidator:
         )
 
     def validate(self, proposals: List[ConstraintProposal]) -> List[ConstraintProposal]:
-        proposals = self._stage1(proposals)
-        proposals = self._stage2(proposals)
+        touched = {
+            id(f): f
+            for p in proposals
+            for f in (p.reference.frame, p.current.frame)
+        }
+        try:
+            proposals = self._stage1(proposals)
+            proposals = self._stage2(proposals)
+        finally:
+            # Keyframe Frames live in the graph forever: release this
+            # validator's prepared artifacts (refpack/quad per level,
+            # ~12 MB/keyframe at 640x480) after the wave, keeping the
+            # reuse WITHIN the wave (current keyframe appears in every
+            # proposal; stage 2 revisits stage-1 survivors).
+            for f in touched.values():
+                self.stage1_matcher.evict(f)
+                self.stage2_matcher.evict(f)
         return proposals
 
     # -- stages -----------------------------------------------------------

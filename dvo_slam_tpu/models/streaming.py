@@ -377,13 +377,16 @@ class StreamingSLAM:
 
         for i in range(2, t):
             rec = records[i]
+            # the entropy criterion's add() side effect fires whenever ITS
+            # vote passes — even on frames other criteria reject; the host
+            # loop runs all criteria before branching
+            # (keyframe_tracker.cpp:105-121, local_tracker.cpp:192)
+            if rec.entropy_ratio > kcfg.min_entropy_ratio:
+                evaluation.add_value(-rec.kf_nll)
             if rec.accept:
                 local_map.add_frame(_StubFrame(timestamps[i], i))
                 local_map.add_odometry_measurement(rec.odo_T, rec.odo_info)
                 local_map.add_keyframe_measurement(rec.kf_T, rec.kf_info)
-                # evaluation side effect order matches keyframe_tracker.cpp:105-121
-                if rec.entropy_ratio > kcfg.min_entropy_ratio:
-                    evaluation.add_value(-rec.kf_nll)
             else:
                 new_kf_index = getattr(
                     local_map.current_frame, "index", kf_index

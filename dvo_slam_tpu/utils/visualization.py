@@ -159,7 +159,9 @@ def export_edge_error_images(
             continue
         lv_i = kf_i.frame.levels[level]
         lv_j = kf_j.frame.levels[level]
-        T = jnp.asarray(g.measurements[k], jnp.float32)
+        # the edge stores the pose of j in frame i; the inverse is the
+        # warp transform the error image needs (see warp_intensity_inverse)
+        T = jnp.asarray(np.linalg.inv(g.measurements[k]), jnp.float32)
         err, ok = intensity_error_image(
             lv_i, lv_j, intrinsics.at_level(level), T
         )

@@ -183,7 +183,7 @@ def main():
             sel = sel_fn(ref)
             accel = build_acceleration(cur)
             x = se3.log_se3(jnp.eye(4, dtype=jnp.float32))
-            final, stats = _match_level(
+            final, stats, _ = _match_level(
                 cfg, k, ref, sel, accel, x,
                 se3.identity(jnp.float32), jnp.eye(4, dtype=jnp.float32),
                 jnp.eye(2, dtype=jnp.float32),
