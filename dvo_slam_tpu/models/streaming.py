@@ -142,9 +142,21 @@ def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics):
     def step(state: _State, inputs):
         iu8, du16, force_flag = inputs
         cur = prep(build(iu8, du16))
-        init = state.last_kf_estimate if tcfg.use_initial_estimate else None
-        r_kf = match(state.kf, cur, init)
-        r_odo = match(state.last, cur, None)
+        # the dual keyframe/odometry match as ONE batch-2 vmapped solve
+        # (the reference's tbb::parallel_invoke, local_tracker.cpp:180-185):
+        # the two level while-loops run in lockstep, halving the serial
+        # kernel chain vs two sequential matches
+        init_kf = (
+            state.last_kf_estimate if tcfg.use_initial_estimate else eye
+        )
+        ref_b = jax.tree.map(
+            lambda a, b: jnp.stack([a, b]), state.kf, state.last
+        )
+        cur_b = jax.tree.map(lambda x: jnp.stack([x, x]), cur)
+        init_b = jnp.stack([init_kf, eye])
+        r = jax.vmap(match)(ref_b, cur_b, init_b)
+        r_kf = jax.tree.map(lambda x: x[0], r)
+        r_odo = jax.tree.map(lambda x: x[1], r)
         kf_T, kf_info, kf_nll, kf_n, kf_pix = res_of(r_kf)
         odo_T, odo_info, odo_nll, odo_n, odo_pix = res_of(r_odo)
 
