@@ -154,6 +154,19 @@ def _match_level_sharded(cfg, intrinsics, axis, refpack, quad, shape, x0, T0, pr
         x_new = dt._solve_jacobi_preconditioned(A, b)
         converged = jnp.max(jnp.abs(x_new)) <= cfg.precision
         exceeded = c.iteration + 1 >= cfg.max_iterations_per_level
+        termination = jnp.where(
+            too_few,
+            dt.TERM_TOO_FEW_CONSTRAINTS,
+            jnp.where(
+                ~accept,
+                dt.TERM_LOG_LIKELIHOOD_DECREASED,
+                jnp.where(
+                    converged,
+                    dt.TERM_INCREMENT_TOO_SMALL,
+                    jnp.where(exceeded, dt.TERM_ITERATIONS_EXCEEDED, dt.TERM_NONE),
+                ),
+            ),
+        ).astype(jnp.int32)
         keep = lambda new, old: jnp.where(reject, old, new)
         return dt._Carry(
             x=keep(x_new, c.x),
@@ -166,7 +179,7 @@ def _match_level_sharded(cfg, intrinsics, axis, refpack, quad, shape, x0, T0, pr
             ll=keep(ll, c.ll),
             n=jnp.where(reject, c.n, n),
             iteration=c.iteration + 1,
-            termination=jnp.asarray(dt.TERM_NONE, jnp.int32),
+            termination=termination,
             done=reject | converged | exceeded,
         )
 
@@ -196,8 +209,9 @@ def make_pixel_sharded_matcher(
     faster than a chip's serial solve, reference pixels are partitioned
     across devices, the quad sampling table is replicated, and every GN
     iteration reduces its normal equations over ICI.  Returns
-    ``run(ref_levels, cur_levels, initial_pose) -> (transformation [4,4],
-    neg_log_likelihood, valid_constraints)``.
+    ``run(ref_levels, cur_levels, initial_pose) -> TrackingResult`` with
+    the full per-level statistics (so the result can feed the keyframe
+    policy and loop voters like any other match).
     """
     n_dev = mesh.shape[axis]
 
@@ -207,6 +221,7 @@ def make_pixel_sharded_matcher(
         T = se3.identity(jnp.float32)
         precision = jnp.eye(2, dtype=jnp.float32)
         final = None
+        level_stats = []
 
         for level in range(cfg.first_level, cfg.last_level - 1, -1):
             ref_level = ref_levels[level]
@@ -230,18 +245,42 @@ def make_pixel_sharded_matcher(
                 shard_map,
                 mesh=mesh,
                 in_specs=(P(None, axis), P(), P(), P(), P()),
-                out_specs=(P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
             )
             def run_level(refpack_sharded, quad_r, x_r, T_r, precision_r):
                 c = _match_level_sharded(
                     cfg, k_level, axis, refpack_sharded, quad_r, shape,
                     x_r, T_r, precision_r,
                 )
-                return c.T, se3.log_se3(c.inc_applied), c.precision, c.ll, c.n
+                return (
+                    c.T,
+                    se3.log_se3(c.inc_applied),
+                    c.precision,
+                    c.ll,
+                    c.n,
+                    c.A,
+                    c.iteration,
+                    c.termination,
+                )
 
-            T, x, precision, ll, n_valid = run_level(refpack, quad, x, T, precision)
-            final = (ll, n_valid)
+            T, x, precision, ll, n_valid, A, iters, term = run_level(
+                refpack, quad, x, T, precision
+            )
+            level_stats.append(
+                dt.LevelStats(
+                    valid_pixels=sel.sum(dtype=jnp.int32),
+                    valid_constraints=n_valid,
+                    iterations=iters,
+                    termination=term,
+                )
+            )
+            final = (ll, A)
 
-        return se3.inverse(T), -final[0], final[1]
+        return dt.TrackingResult(
+            transformation=se3.inverse(T),
+            information=final[1] * dt.INFORMATION_SCALE,
+            neg_log_likelihood=-final[0],
+            level_stats=tuple(level_stats),
+        )
 
     return jax.jit(solve)

@@ -146,7 +146,8 @@ def test_pixel_sharded_matcher():
 
     m = mesh_lib.make_mesh(8)
     run = make_pixel_sharded_matcher(cfg, K, m)
-    T_sharded, nll, n_valid = run(ref, cur, jnp.eye(4, dtype=jnp.float32))
+    r_sharded = run(ref, cur, jnp.eye(4, dtype=jnp.float32))
+    T_sharded = r_sharded.transformation
 
     single = match_pyramids(cfg, K, ref, cur)
     err_vs_single = np.abs(
@@ -158,8 +159,18 @@ def test_pixel_sharded_matcher():
     err_vs_gt = np.abs(np.asarray(se3.log_se3(jnp.asarray(
         np.linalg.inv(T_gt) @ np.asarray(T_sharded, np.float64), jnp.float32))))
     assert err_vs_gt.max() < 5e-3, err_vs_gt
-    assert int(n_valid) > 1000
-    assert np.isfinite(float(nll))
+    # full TrackingResult interface: per-level stats match the single
+    # solver's (same iterations/terminations -> same policy decisions)
+    assert len(r_sharded.level_stats) == len(single.level_stats)
+    for s_sh, s_si in zip(r_sharded.level_stats, single.level_stats):
+        assert int(s_sh.valid_constraints) > 1000
+        assert int(s_sh.termination) == int(s_si.termination)
+        assert int(s_sh.iterations) == int(s_si.iterations)
+    np.testing.assert_allclose(
+        np.asarray(r_sharded.information), np.asarray(single.information),
+        rtol=2e-3, atol=1e-3,
+    )
+    assert np.isfinite(float(r_sharded.neg_log_likelihood))
 
 
 def test_distributed_ba_rejects_bad_shard_count():
