@@ -290,26 +290,31 @@ def _match_level(
         quad = build_quad_table_cm(accel_cm, ref_level.intensity.shape[1])
 
     def evaluate_fused(T, P_prev, first):
-        """Single-pass fused path (Pallas on TPU, XLA twin elsewhere)."""
+        """Fused path: the warp gather feeds the two-pass kernel (Pallas
+        on TPU, XLA twin elsewhere), which emits the Gram partials AND the
+        log1p sum — per-pixel residuals/weights never round-trip HBM."""
         sampled = warp_and_sample_cm(
             refpack, quad, ref_level.intensity.shape, intrinsics, T
         )
         p3 = jnp.stack([P_prev[0, 0], P_prev[0, 1], P_prev[1, 1]])
         fn = (
-            pallas_kernels.fused_partials_pallas
+            pallas_kernels.fused_stats_pallas
             if backend == "pallas"
-            else pallas_kernels.fused_partials_xla
+            else pallas_kernels.fused_stats_xla
         )
-        parts = fn(sampled, refpack, p3, first.astype(jnp.int32), intrinsics, dof)
-        n = parts.num_valid.astype(jnp.int32)
-        denom = jnp.maximum(parts.num_valid - 3.0, 1.0)
+        stats = fn(sampled, refpack, p3, first.astype(jnp.int32), intrinsics, dof)
+        n = stats.num_valid.astype(jnp.int32)
+        denom = jnp.maximum(stats.num_valid - 3.0, 1.0)
         precision_new = robust.precision_from_scale(
-            pallas_kernels.scale_matrix(parts) / denom
+            pallas_kernels.scale_matrix(stats) / denom
         )
-        ll = robust.tdist_log_likelihood_cm(
-            parts.residuals, precision_new, parts.weights > 0, dof
+        det = (
+            precision_new[0, 0] * precision_new[1, 1]
+            - precision_new[0, 1] * precision_new[1, 0]
         )
-        A, b = pallas_kernels.assemble_normal_equations(parts, precision_new)
+        logdet = jnp.log(jnp.maximum(det, jnp.asarray(1e-38, dtype)))
+        ll = 0.5 * stats.num_valid * logdet - 0.5 * (dof + 2.0) * stats.log_sum
+        A, b = pallas_kernels.assemble_normal_equations(stats, precision_new)
         return n, precision_new, ll, A, b
 
     evaluate = evaluate_xla if backend == "xla" else evaluate_fused

@@ -302,6 +302,169 @@ def fused_partials_pallas(
     return _unpack_stats(stats, rw[:2, :n], rw[2, :n])
 
 
+class FusedStats(NamedTuple):
+    """Partials + in-kernel log-likelihood sum — the no-writeback form:
+    unlike FusedPartials, per-pixel residuals/weights never leave the
+    kernel (they live in VMEM scratch between the two grid passes)."""
+
+    m00: jnp.ndarray  # [6, 6]
+    m01: jnp.ndarray  # [6, 6]
+    m11: jnp.ndarray  # [6, 6]
+    v: jnp.ndarray  # [4, 6]
+    scale_sum: jnp.ndarray  # [3]
+    num_valid: jnp.ndarray  # []
+    log_sum: jnp.ndarray  # [] sum of log1p(r^T P_new r / dof) over valid pixels
+
+
+# variance floors replicated from robust.precision_from_scale — the
+# in-kernel precision MUST match the host-side one bit for bit
+_SIGMA_FLOOR_I = (0.05 / 255.0) ** 2
+_SIGMA_FLOOR_Z = 1e-4**2
+
+
+def _precision_from_scale_sums(s00, s01, s11, n):
+    """(P00, P01, P11) from the raw scale sums — identical math to
+    robust.precision_from_scale(scale_matrix / max(n - 3, 1))."""
+    denom = jnp.maximum(n - 3.0, 1.0)
+    a = s00 / denom + _SIGMA_FLOOR_I
+    b = s01 / denom
+    c = s11 / denom + _SIGMA_FLOOR_Z
+    det = jnp.maximum(a * c - b * b, 1e-30)
+    return c / det, -b / det, a / det
+
+
+def fused_stats_xla(
+    sampled,  # [8, N] channel-major
+    refpack,  # [8, N] channel-major
+    precision3,  # [3]
+    first_iter,  # [] int32
+    intrinsics: Intrinsics,
+    dof: float = 5.0,
+) -> FusedStats:
+    """XLA twin of the two-pass kernel (CPU path / parity oracle)."""
+    parts = fused_partials_xla(sampled, refpack, precision3, first_iter, intrinsics, dof)
+    p00, p01, p11 = _precision_from_scale_sums(
+        parts.scale_sum[0], parts.scale_sum[1], parts.scale_sum[2], parts.num_valid
+    )
+    r_i, r_z = parts.residuals[0], parts.residuals[1]
+    d2 = r_i * (p00 * r_i + p01 * r_z) + r_z * (p01 * r_i + p11 * r_z)
+    log_sum = jnp.sum(jnp.where(parts.weights > 0, jnp.log1p(d2 / dof), 0.0))
+    return FusedStats(
+        m00=parts.m00, m01=parts.m01, m11=parts.m11, v=parts.v,
+        scale_sum=parts.scale_sum, num_valid=parts.num_valid, log_sum=log_sum,
+    )
+
+
+def _kernel2(params_ref, ref_ref, cur_ref, stats_ref, ll_ref, rw_scratch):
+    """Two-pass grid (pass axis slowest): pass 0 accumulates the Gram
+    stats and stashes (r_i, r_z, mask) in VMEM scratch; pass 1 computes
+    the NEW precision from the accumulated stats and reduces the
+    t-distribution log1p sum — per-pixel data never touches HBM."""
+    p = pl.program_id(0)
+    g = pl.program_id(1)
+
+    fx = params_ref[0, 0]
+    fy = params_ref[0, 1]
+    dof = params_ref[0, 2]
+    first = params_ref[0, 3]
+    precision = (params_ref[0, 4], params_ref[0, 5], params_ref[0, 6])
+
+    @pl.when(p == 0)
+    def _pass0():
+        ref = ref_ref[:]
+        cur = cur_ref[:]
+        channels_ref = [ref[c : c + 1, :] for c in range(7)]
+        channels_cur = [cur[c : c + 1, :] for c in range(8)]
+        r_i, r_z, w, maskf, j_i, j_z = _pixel_math(
+            channels_ref, channels_cur, precision, first, fx, fy, dof
+        )
+        rw_scratch[:, pl.ds(g * BLOCK, BLOCK)] = jnp.concatenate(
+            [r_i, r_z, maskf], axis=0
+        )
+        U = _gram_rows(r_i, r_z, w, maskf, j_i, j_z)
+        gram = jax.lax.dot_general(
+            U, U, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        stats = jnp.concatenate([gram, jnp.zeros((16, 112), gram.dtype)], axis=1)
+
+        @pl.when(g == 0)
+        def _init():
+            stats_ref[:] = stats
+            ll_ref[0, 0] = 0.0
+
+        @pl.when(g > 0)
+        def _acc():
+            stats_ref[:] = stats_ref[:] + stats
+
+    @pl.when(p == 1)
+    def _pass1():
+        s00 = stats_ref[12, 12]
+        s01 = stats_ref[12, 13]
+        s11 = stats_ref[13, 13]
+        n = stats_ref[14, 14]
+        p00, p01, p11 = _precision_from_scale_sums(s00, s01, s11, n)
+        tile = rw_scratch[:, pl.ds(g * BLOCK, BLOCK)]
+        r_i, r_z, maskf = tile[0:1, :], tile[1:2, :], tile[2:3, :]
+        d2 = r_i * (p00 * r_i + p01 * r_z) + r_z * (p01 * r_i + p11 * r_z)
+        local = jnp.sum(jnp.where(maskf > 0.5, jnp.log1p(d2 / dof), 0.0))
+        ll_ref[0, 0] = ll_ref[0, 0] + local
+
+
+def fused_stats_pallas(
+    sampled,  # [8, N] channel-major
+    refpack,  # [8, N] channel-major
+    precision3,  # [3]
+    first_iter,  # [] int32
+    intrinsics: Intrinsics,
+    dof: float = 5.0,
+    interpret: bool = False,
+) -> FusedStats:
+    """Two-pass fused Pallas kernel: Gram partials + in-kernel LL."""
+    n = sampled.shape[1]
+    n_pad = -(-n // BLOCK) * BLOCK
+    pad = n_pad - n
+    dtype = sampled.dtype
+
+    cur = jnp.pad(sampled, ((0, 0), (0, pad)))
+    ref = jnp.pad(refpack, ((0, 0), (0, pad)))
+
+    params = jnp.concatenate(
+        [
+            jnp.asarray([intrinsics.fx, intrinsics.fy, dof], dtype),
+            first_iter.astype(dtype)[None],
+            precision3.astype(dtype),
+            jnp.zeros(1, dtype),
+        ]
+    )[None, :]
+
+    grid = (2, n_pad // BLOCK)
+    stats, ll = pl.pallas_call(
+        _kernel2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda p, g: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, BLOCK), lambda p, g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BLOCK), lambda p, g: (0, g), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, 128), lambda p, g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda p, g: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, 128), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((3, n_pad), dtype)],
+        interpret=interpret,
+    )(params, ref, cur)
+
+    m00, m01, m11, v, scale_sum, num_valid = _unpack_gram(stats[:, :16])
+    return FusedStats(
+        m00=m00, m01=m01, m11=m11, v=v, scale_sum=scale_sum,
+        num_valid=num_valid, log_sum=ll[0, 0],
+    )
+
+
 def assemble_normal_equations(partials: FusedPartials, precision):
     """A, b for an arbitrary 2x2 precision from the fused partials
     (exactly sum w J^T P J / -sum w J^T P r)."""

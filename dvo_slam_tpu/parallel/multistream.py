@@ -79,20 +79,72 @@ def _track_streams(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, dep
     return jnp.swapaxes(poses_t, 0, 1)  # [B, T-1, 4, 4]
 
 
+def _track_one_stream(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, depth_u16):
+    """[T, H, W] u8/u16 -> [T-1, 4, 4]: the truly-unbatched scanned
+    tracker (no vmap anywhere, so no batched-gather lowering)."""
+
+    def build(int_u8, dep_u16):
+        depth, valid = convert_raw_depth(dep_u16)
+        return build_pyramid(
+            int_u8.astype(jnp.float32), depth, valid, cfg.num_levels,
+            skip_below=cfg.last_level,
+        )
+
+    def step(carry, frame):
+        prev_pyr, pose, rel_prev = carry
+        cur_pyr = build(frame[0], frame[1])
+        r = match_pyramids(cfg, intrinsics, prev_pyr, cur_pyr, rel_prev)
+        pose = pose @ r.transformation
+        return (cur_pyr, pose, r.transformation), pose
+
+    first = build(intensity_u8[0], depth_u16[0])
+    eye = jnp.eye(4, dtype=jnp.float32)
+    _, poses = jax.lax.scan(step, (first, eye, eye), (intensity_u8[1:], depth_u16[1:]))
+    return poses
+
+
+def _track_streams_sequential(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, depth_u16):
+    """Streams tracked one after another inside ONE device program
+    (``lax.map`` over the stream axis of the single-stream scan).
+
+    The offline-throughput schedule: XLA's batched-gather lowering makes
+    the LOCKSTEP schedule lose per-stream efficiency on one chip (see
+    BASELINE.md), while sequential streams keep the single-stream
+    program's exact per-frame cost — aggregate fps ~= single-stream fps,
+    at B x the wall-clock per stream.  Use lockstep for live multi-camera
+    batches, sequential for batch reprocessing.
+    """
+
+    def one_stream(stream):
+        iu8, du16 = stream
+        return _track_one_stream(cfg, intrinsics, iu8, du16)
+
+    return jax.lax.map(one_stream, (intensity_u8, depth_u16))
+
+
 def make_multistream_tracker(
     cfg: TrackerConfig,
     intrinsics: Intrinsics,
     mesh: Optional[Mesh] = None,
     axis: str = BATCH_AXIS,
+    schedule: str = "lockstep",
 ):
     """jit-compiled multi-stream tracker.
 
     Returns ``run(intensity_u8 [B,T,H,W], depth_u16 [B,T,H,W]) ->
     poses [B,T-1,4,4]``.  With a mesh, the stream axis is sharded over it
     (B must be divisible by the mesh size); without one, all B streams
-    batch onto the local device.
+    batch onto the local device.  ``schedule``: "lockstep" advances all
+    streams together (live serving shape); "sequential" tracks them one
+    after another in one program (offline throughput shape — see
+    _track_streams_sequential).
     """
-    fn = jax.jit(functools.partial(_track_streams, cfg, intrinsics))
+    if schedule == "sequential":
+        fn = jax.jit(functools.partial(_track_streams_sequential, cfg, intrinsics))
+    elif schedule == "lockstep":
+        fn = jax.jit(functools.partial(_track_streams, cfg, intrinsics))
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
 
     if mesh is None:
         return fn

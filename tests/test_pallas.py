@@ -152,3 +152,44 @@ def test_fused_match_recovers_motion():
             se3.log_se3(jnp.asarray(np.linalg.inv(T_gt) @ est, jnp.float32))
         )
         assert np.abs(err).max() < 5e-3, (cfg.kernel_backend, err)
+
+
+def test_fused_stats_matches_partials_path():
+    """The two-pass no-writeback kernel (FusedStats) must agree with the
+    partials+host-LL path: same Gram sums, and its in-kernel precision +
+    log1p sum reproduce the host-computed log-likelihood exactly."""
+    ref, cur, T = _level_pair([0.009, -0.003, 0.004, 0.002, 0.001, -0.002], seed=4)
+    _, _, sampled, refpack = _fused_inputs(ref, cur, T)
+    p3 = jnp.asarray([4000.0, 10.0, 1.5e5], jnp.float32)
+    first = jnp.asarray(0, jnp.int32)
+
+    parts = pallas_kernels.fused_partials_xla(sampled, refpack, p3, first, K)
+    stats_x = pallas_kernels.fused_stats_xla(sampled, refpack, p3, first, K)
+    stats_p = pallas_kernels.fused_stats_pallas(
+        sampled, refpack, p3, first, K, interpret=True
+    )
+
+    for a, b in ((stats_x, parts), (stats_p, parts)):
+        np.testing.assert_allclose(np.asarray(a.m00), np.asarray(b.m00), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.m11), np.asarray(b.m11), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.v), np.asarray(b.v), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(a.scale_sum), np.asarray(b.scale_sum), rtol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(a.num_valid), np.asarray(b.num_valid))
+
+    # the in-kernel LL equals the host LL computed from the partials
+    denom = max(float(parts.num_valid) - 3.0, 1.0)
+    precision_new = robust.precision_from_scale(
+        pallas_kernels.scale_matrix(parts) / denom
+    )
+    ll_host = robust.tdist_log_likelihood_cm(
+        parts.residuals, precision_new, parts.weights > 0, 5.0
+    )
+    dof = 5.0
+    det = float(precision_new[0, 0] * precision_new[1, 1] - precision_new[0, 1] ** 2)
+    for stats in (stats_x, stats_p):
+        ll = 0.5 * float(stats.num_valid) * np.log(det) - 0.5 * (dof + 2.0) * float(
+            stats.log_sum
+        )
+        np.testing.assert_allclose(ll, float(ll_host), rtol=1e-5)

@@ -252,3 +252,35 @@ def test_temporal_tracker_matches_sequential():
         err_gt = np.abs(np.asarray(se3.log_se3(jnp.asarray(
             np.linalg.inv(poses[t + 1]) @ par[t], jnp.float32))))
         assert err_gt.max() < 8e-3, f"frame {t} vs gt: {err_gt}"
+
+
+def test_multistream_sequential_matches_lockstep():
+    """The sequential (offline-throughput) schedule must produce the same
+    trajectories as the lockstep schedule, modulo lockstep's extra
+    refinement iterations on already-converged streams."""
+    from dvo_slam_tpu.parallel.multistream import make_multistream_tracker
+    from dvo_slam_tpu.ops import se3 as _se3
+
+    cfg = TrackerConfig(first_level=1, last_level=0, max_iterations_per_level=15,
+                        precision=1e-4, use_initial_estimate=True)
+    B, T, shape = 3, 4, (60, 80)
+    k = Intrinsics(80.0, 80.0, 39.5, 29.5)
+    iu = np.zeros((B, T) + shape, np.uint8)
+    du = np.zeros((B, T) + shape, np.uint16)
+    for b in range(B):
+        poses = synthetic.circular_trajectory(T, radius=0.02 + 0.01 * b)
+        for t in range(T):
+            i_img, d_img, v = synthetic.render_frame(poses[t], k, shape, seed=7 * b + t)
+            iu[b, t] = np.clip(i_img, 0, 255).astype(np.uint8)
+            du[b, t] = np.where(v, d_img * 5000.0, 0).astype(np.uint16)
+    lockstep = make_multistream_tracker(cfg, k)(jnp.asarray(iu), jnp.asarray(du))
+    sequential = make_multistream_tracker(cfg, k, schedule="sequential")(
+        jnp.asarray(iu), jnp.asarray(du)
+    )
+    assert sequential.shape == (B, T - 1, 4, 4)
+    for b in range(B):
+        for t in range(T - 1):
+            err = np.abs(np.asarray(_se3.log_se3(jnp.asarray(
+                np.linalg.inv(np.asarray(lockstep[b, t], np.float64))
+                @ np.asarray(sequential[b, t], np.float64), jnp.float32))))
+            assert err.max() < 1e-3, (b, t, err.max())

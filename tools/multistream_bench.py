@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--streams", type=int, default=4)
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--schedule", default="lockstep", choices=["lockstep", "sequential"])
     args = ap.parse_args()
 
     import jax
@@ -53,7 +54,7 @@ def main():
             intensity[b, t] = np.clip(i_img, 0, 255).astype(np.uint8)
             depth[b, t] = np.where(v_img, d_img * 5000.0, 0).astype(np.uint16)
 
-    run = make_multistream_tracker(cfg, TUM_FR1)
+    run = make_multistream_tracker(cfg, TUM_FR1, schedule=args.schedule)
     d_int = jnp.asarray(intensity)
     d_dep = jnp.asarray(depth)
     np.asarray(d_int[0, 0, 0, 0])  # force upload
@@ -82,6 +83,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 2),
         "streams": B,
+        "schedule": args.schedule,
         "per_stream_fps": round(fps / B, 2),
         "worst_ate_rmse_m": round(float(max(ates)), 5),
         "device": str(jax.devices()[0]),
