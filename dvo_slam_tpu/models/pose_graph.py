@@ -541,6 +541,74 @@ class PoseGraph:
     # memory and O(N^3) solve lose to O(E) CG)
     DENSE_SOLVER_MAX_VERTICES = 128
 
+    def _optimize_sparse_direct(self, iterations, delta, arrays):
+        """Host-side sparse-direct GN: per-edge blocks on device, exact
+        f64 sparse Cholesky/LU on host — the literal architecture of the
+        reference's g2o+CSparse backends (keyframe_graph.cpp:138-142:
+        Jacobians in the optimizer, factorization in a host sparse
+        library).  Exact at any N; the oracle for the iterative CG path
+        on graphs too big for the dense solver."""
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        from ..ops import se3 as se3_ops
+
+        n = arrays.poses.shape[0]
+        free = np.asarray(arrays.vertex_mask & ~arrays.fixed_mask)
+        ei = np.asarray(arrays.edge_i)
+        ej = np.asarray(arrays.edge_j)
+        history = []
+        blocks_fn = jax.jit(functools.partial(edge_blocks, delta=delta))
+        poses = arrays.poses
+        for _ in range(iterations):
+            g = arrays._replace(poses=poses)
+            H_ii, H_ij, H_jj, b_i, b_j, chi2 = blocks_fn(g)
+            history.append(
+                float(jnp.sum(jnp.where(arrays.edge_mask, chi2, 0.0)))
+            )
+            H_ii, H_ij, H_jj = (
+                np.asarray(H_ii, np.float64),
+                np.asarray(H_ij, np.float64),
+                np.asarray(H_jj, np.float64),
+            )
+            b = np.zeros((n, 6))
+            np.add.at(b, ei, np.asarray(b_i, np.float64))
+            np.add.at(b, ej, np.asarray(b_j, np.float64))
+            # assemble the gauged sparse system in COO block form
+            rows, cols, vals = [], [], []
+            r6 = np.arange(6)
+            rr, cc = np.meshgrid(r6, r6, indexing="ij")
+
+            def add_block(i_arr, j_arr, blk):
+                rows.append((i_arr[:, None, None] * 6 + rr[None]).ravel())
+                cols.append((j_arr[:, None, None] * 6 + cc[None]).ravel())
+                vals.append(blk.ravel())
+
+            freef = free.astype(np.float64)
+            scale = freef[ei] * freef[ej]
+            add_block(ei, ei, H_ii * freef[ei][:, None, None])
+            add_block(ei, ej, H_ij * scale[:, None, None])
+            add_block(ej, ei, np.swapaxes(H_ij, 1, 2) * scale[:, None, None])
+            add_block(ej, ej, H_jj * freef[ej][:, None, None])
+            # gauge diagonal: damping on free vertices, identity(+damping)
+            # on fixed/unallocated ones (matching apply_gauge)
+            diag = np.arange(n)
+            diag_idx = (diag[:, None] * 6 + r6[None]).ravel()
+            diag_vals = np.where(free, GAUGE_DAMPING, 1.0 + GAUGE_DAMPING)
+            rows.append(diag_idx)
+            cols.append(diag_idx)
+            vals.append(np.repeat(diag_vals, 6))
+            H = sp.coo_matrix(
+                (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+                shape=(6 * n, 6 * n),
+            ).tocsc()
+            rhs = (-b * freef[:, None]).ravel()
+            dx = spla.spsolve(H, rhs).reshape(n, 6)
+            dx = np.where(free[:, None], dx, 0.0)
+            poses = poses @ se3_ops.exp_se3(jnp.asarray(dx, arrays.poses.dtype))
+        self.poses[: self._n] = np.asarray(poses)[: self._n]
+        return np.asarray(history, self.dtype)
+
     def optimize(
         self,
         iterations: int = 50,
@@ -560,6 +628,17 @@ class PoseGraph:
             return np.zeros(0, self.dtype)
         if solver == "auto":
             solver = "dense" if self._n <= self.DENSE_SOLVER_MAX_VERTICES else "cg"
+        if solver == "sparse":
+            arrays = self.to_arrays()
+            level_mask = self.edge_level[: len(self.edge_i)] <= max_level
+            arrays = arrays._replace(
+                edge_mask=arrays.edge_mask & jnp.asarray(level_mask)
+            )
+            if not self.fixed[: self._n].any():
+                arrays = arrays._replace(
+                    fixed_mask=arrays.fixed_mask.at[0].set(True)
+                )
+            return self._optimize_sparse_direct(iterations, delta, arrays)
         # Krylov bound: a chain of N vertices needs ~N CG iterations to
         # propagate a correction end to end; the tolerance check exits
         # early on well-conditioned (loopy) graphs.

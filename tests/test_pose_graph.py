@@ -227,3 +227,49 @@ def test_edge_matvec_matches_dense_hessian():
         arrays.edge_i, arrays.edge_j, H_ii, H_ij, H_jj, free, x
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_direct_matches_dense():
+    """The host sparse-direct solver (the literal g2o+CSparse architecture:
+    device blocks, exact f64 host factorization) must reproduce the dense
+    oracle on small graphs."""
+    g_dense, true = _loopy_graph(24, seed=3)
+    g_sparse, _ = _loopy_graph(24, seed=3)
+    g_dense.optimize(iterations=15, solver="dense")
+    hist = g_sparse.optimize(iterations=15, solver="sparse")
+    assert hist[-1] <= hist[0]
+    for i in range(25):
+        err = _pose_err(g_dense.vertex_pose(i), g_sparse.vertex_pose(i))
+        assert err < 1e-3, (i, err)
+
+
+@pytest.mark.slow
+def test_sparse_direct_large_graph_oracle_vs_cg():
+    """At 600 vertices (beyond the dense cap) the sparse-direct solve is
+    the exact oracle; CG must land on the same optimum."""
+    n = 600
+    rng = np.random.default_rng(9)
+    step = [0.4, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / n]
+    true = [np.eye(4)]
+    for _ in range(n):
+        true.append(true[-1] @ _exp(step))
+    def build():
+        g = pg.PoseGraph()
+        g.add_vertex(0, np.eye(4), fixed=True)
+        r2 = np.random.default_rng(11)
+        for i in range(n):
+            g.add_vertex(i + 1, true[i + 1] @ _exp(r2.normal(0, 0.03, 6)))
+            g.add_edge(i, i + 1, _rel(true[i], true[i + 1]), np.eye(6))
+        for i in range(0, n - 32, 32):
+            g.add_edge(i, i + 32, _rel(true[i], true[i + 32]), 10.0 * np.eye(6))
+        return g
+    g_sp = build()
+    hist_sp = g_sp.optimize(iterations=6, solver="sparse")
+    g_cg = build()
+    hist_cg = g_cg.optimize(iterations=6, solver="cg")
+    # both collapse chi2; poses agree to solver tolerance
+    assert hist_sp[-1] < hist_sp[0] * 1e-4
+    errs = [
+        _pose_err(g_sp.vertex_pose(i), g_cg.vertex_pose(i)) for i in range(0, n, 41)
+    ]
+    assert max(errs) < 5e-3, max(errs)
