@@ -275,6 +275,325 @@ def solve_blocks_cg(
     return x
 
 
+class ChainStructure(NamedTuple):
+    """Host-computed elimination structure for the Schur chain solver.
+
+    The dense final pass (keyframe_graph.cpp:257-281 with the dense graph,
+    i.e. all odometry vertices included) is dominated by degree-2 chains:
+    every odometry vertex sits between exactly two neighbours.  Eliminating
+    those chains by block-tridiagonal (Thomas) factorization reduces the
+    system EXACTLY onto the separator vertices (keyframes / loop-closure
+    endpoints) — the Schur-complement trick of sparse SLAM solvers, and the
+    direct-solve replacement for CG's O(N)-iteration Krylov bound on long
+    chains (reference: g2o + CSparse, keyframe_graph.cpp:138-142).
+
+    All index arrays are static per optimize() call (structure only changes
+    when edges are added/masked), so the whole GN loop jits.
+    """
+
+    sep_ids: jnp.ndarray  # [S] int32 — global vertex index per separator
+    sep_edge: jnp.ndarray  # [Es] int32 — edges with both endpoints separators
+    sep_edge_a: jnp.ndarray  # [Es] int32 — dense sep index of edge_i endpoint
+    sep_edge_b: jnp.ndarray  # [Es] int32 — dense sep index of edge_j endpoint
+    seg_edges: jnp.ndarray  # [G, K+1] int32 — edge ids along each chain
+    seg_flip: jnp.ndarray  # [G, K+1] bool — stored edge runs Q->P
+    seg_len: jnp.ndarray  # [G] int32 — interior vertex count k (>= 1)
+    seg_a: jnp.ndarray  # [G] int32 — dense sep index of the chain head
+    seg_b: jnp.ndarray  # [G] int32 — dense sep index of the chain tail
+    seg_vert: jnp.ndarray  # [G, K] int32 — global interior vertex ids
+
+
+def chain_partition(n, ei, ej, active, allocated, free):
+    """Host-side (NumPy) structure analysis: split allocated vertices into
+    degree-2 interior chains and separators.  Returns a ChainStructure or
+    None when the graph has no eliminable chain (then the dense/CG paths
+    are the right tool).
+
+    Separators are: fixed vertices, any vertex of degree != 2, self-loop
+    endpoints, and one demoted vertex per pure interior cycle (a ring of
+    degree-2 vertices needs an anchor to cut it into one open chain).
+    """
+    ei = np.asarray(ei)
+    ej = np.asarray(ej)
+    active = np.asarray(active)
+    allocated = np.asarray(allocated)
+    free = np.asarray(free)
+    deg = np.zeros(n, np.int64)
+    adj = [[] for _ in range(n)]
+    forced = np.zeros(n, bool)
+    for e in np.nonzero(active)[0]:
+        i, j = int(ei[e]), int(ej[e])
+        if i == j:
+            forced[i] = True
+            continue
+        deg[i] += 1
+        deg[j] += 1
+        adj[i].append((int(e), j))
+        adj[j].append((int(e), i))
+    interior = allocated & free & (deg == 2) & ~forced
+    if not interior.any():
+        return None
+    used = np.zeros(len(ei), bool)
+    segments = []  # (sep_a, sep_b, [interior verts], [edges])
+    sep_edges = []
+
+    def walk(e0, v0):
+        path_e = [e0]
+        path_v = []
+        used[e0] = True
+        prev_e, cur = e0, v0
+        while interior[cur]:
+            path_v.append(cur)
+            (ea, oa), (eb, ob) = adj[cur]
+            ne, nv = (eb, ob) if ea == prev_e else (ea, oa)
+            used[ne] = True
+            path_e.append(ne)
+            prev_e, cur = ne, nv
+        return path_v, cur, path_e
+
+    def sweep_from(s):
+        for e0, v0 in adj[s]:
+            if used[e0]:
+                continue
+            if not interior[v0]:
+                used[e0] = True
+                sep_edges.append(e0)
+                continue
+            path_v, end, path_e = walk(e0, v0)
+            segments.append((s, end, path_v, path_e))
+
+    for s in range(n):
+        if not allocated[s] or interior[s]:
+            continue
+        sweep_from(s)
+    # pure interior cycles: both edges of some interior are still unused —
+    # demote it to a separator and cut the ring there (a==b segment)
+    for v in range(n):
+        if interior[v] and not any(used[e] for e, _ in adj[v]):
+            interior[v] = False
+            sweep_from(v)
+    # self-loop edges (both endpoints the same separator)
+    for e in np.nonzero(active)[0]:
+        if int(ei[e]) == int(ej[e]):
+            sep_edges.append(int(e))
+    if not segments:
+        return None
+
+    sep_list = [v for v in range(n) if allocated[v] and not interior[v]]
+    sep_of = np.full(n, -1, np.int64)
+    sep_of[sep_list] = np.arange(len(sep_list))
+    g_count = len(segments)
+    k_max = max(len(s[2]) for s in segments)
+    seg_edges = np.zeros((g_count, k_max + 1), np.int32)
+    seg_flip = np.zeros((g_count, k_max + 1), bool)
+    seg_len = np.zeros(g_count, np.int32)
+    seg_a = np.zeros(g_count, np.int32)
+    seg_b = np.zeros(g_count, np.int32)
+    seg_vert = np.zeros((g_count, k_max), np.int32)
+    for gidx, (sa, sb, verts, edges) in enumerate(segments):
+        k = len(verts)
+        seg_len[gidx] = k
+        seg_a[gidx] = sep_of[sa]
+        seg_b[gidx] = sep_of[sb]
+        seg_vert[gidx, :k] = verts
+        order = [sa] + verts  # P endpoint of edge t along the canonical walk
+        for t, e in enumerate(edges):
+            seg_edges[gidx, t] = e
+            seg_flip[gidx, t] = int(ei[e]) != order[t]
+    se = np.asarray(sorted(set(sep_edges)), np.int32)
+    return ChainStructure(
+        sep_ids=jnp.asarray(np.asarray(sep_list, np.int32)),
+        sep_edge=jnp.asarray(se),
+        sep_edge_a=jnp.asarray(sep_of[np.asarray(ei)[se]].astype(np.int32)),
+        sep_edge_b=jnp.asarray(sep_of[np.asarray(ej)[se]].astype(np.int32)),
+        seg_edges=jnp.asarray(seg_edges),
+        seg_flip=jnp.asarray(seg_flip),
+        seg_len=jnp.asarray(seg_len),
+        seg_a=jnp.asarray(seg_a),
+        seg_b=jnp.asarray(seg_b),
+        seg_vert=jnp.asarray(seg_vert),
+    )
+
+
+def schur_chain_solve(
+    struct: ChainStructure, n, H_ii, H_ij, H_jj, b, free, axis_name=None
+):
+    """Exact direct solve of the gauged normal equations by chain
+    elimination: block-tridiagonal forward/backward sweeps (lax.scan of
+    6x6 solves, vectorized over all chains) reduce the system onto the
+    separator vertices; one small dense Cholesky solves the reduced
+    (Schur-complement) system; back-substitution recovers the chain
+    updates from the SAME tridiagonal solve columns — two sweeps total.
+
+    Solves H_gauged dx = -b with apply_gauge semantics (fixed rows/cols
+    zeroed + identity diag, Levenberg damping on free rows); the result
+    matches the dense oracle to factorization tolerance.
+
+    Zero-length (seg_len == 0) padding segments contribute nothing, so the
+    segment axis can be padded/sharded freely.  With ``axis_name`` (inside
+    shard_map) the segment arrays are this shard's slice: each device
+    eliminates its own chains, the reduced [S, S, 6, 6] system psums over
+    ICI (S = separator count — the Schur-complement communication shape of
+    BASELINE.json's distributed BA), the small solve runs replicated, and
+    the back-substituted interior updates psum once as an [N, 6] tensor.
+    """
+    dtype = b.dtype
+    eye = jnp.eye(6, dtype=dtype)
+    freef = free.astype(dtype)
+    rhs = -b * freef[:, None]
+    s_count = struct.sep_ids.shape[0]
+    g_count, kp1 = struct.seg_edges.shape
+    k_max = kp1 - 1
+    segf = (struct.seg_len > 0).astype(dtype)  # padding-segment mask
+
+    e = struct.seg_edges
+    flip = struct.seg_flip[..., None, None]
+    Hii_e, Hij_e, Hjj_e = H_ii[e], H_ij[e], H_jj[e]
+    HijT = jnp.swapaxes(Hij_e, -1, -2)
+    Dp = jnp.where(flip, Hjj_e, Hii_e)  # diag block on the earlier endpoint
+    Dq = jnp.where(flip, Hii_e, Hjj_e)  # diag block on the later endpoint
+    U = jnp.where(flip, HijT, Hij_e)  # H(P, Q) coupling along the walk
+
+    tpos = jnp.arange(k_max)
+    valid_t = tpos[None, :] < struct.seg_len[:, None]  # [G, K]
+    last = jnp.maximum(struct.seg_len - 1, 0)
+
+    # interior tridiagonal: D_t = Dq(edge t) + Dp(edge t+1) + damping
+    D = Dq[:, :k_max] + Dp[:, 1:] + GAUGE_DAMPING * eye
+    D = jnp.where(valid_t[..., None, None], D, eye)
+    # off-diagonal O_t couples interior t -> t+1 (edge t+1), real for t <= k-2
+    valid_o = tpos[None, :] < (struct.seg_len[:, None] - 1)
+    O = jnp.where(valid_o[..., None, None], U[:, 1:], 0.0)
+
+    free_sep = freef[struct.sep_ids]
+    fa = free_sep[struct.seg_a] * segf
+    fb = free_sep[struct.seg_b] * segf
+    # gauged couplings to the endpoint separators
+    Ca = jnp.swapaxes(U[:, 0], -1, -2) * fa[:, None, None]  # H(v_0, sep_a)
+    U_last = jnp.take_along_axis(
+        U, struct.seg_len[:, None, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    Cb = U_last * fb[:, None, None]  # H(v_{k-1}, sep_b)
+
+    b_int = rhs[struct.seg_vert] * valid_t[..., None]  # [G, K, 6]
+    onehot0 = (tpos == 0).astype(dtype)
+    onehotk = (tpos[None, :] == last[:, None]).astype(dtype)
+    # multi-RHS columns: [A^T at row 0 | B^T at row k-1 | rhs]
+    R = jnp.concatenate(
+        [
+            Ca[:, None] * onehot0[None, :, None, None],
+            Cb[:, None] * onehotk[..., None, None],
+            b_int[..., None],
+        ],
+        axis=-1,
+    )  # [G, K, 6, 13]
+
+    # time-major for the scans
+    Dm = jnp.moveaxis(D, 1, 0)
+    Om = jnp.moveaxis(O, 1, 0)
+    Rm = jnp.moveaxis(R, 1, 0)
+
+    def fwd(carry, inp):
+        d_prev, r_prev, o_prev = carry
+        d_t, r_t, o_t = inp
+        z = jnp.linalg.solve(d_prev, jnp.concatenate([o_prev, r_prev], -1))
+        zo, zr = z[..., :6], z[..., 6:]
+        d_new = d_t - jnp.einsum("gba,gbc->gac", o_prev, zo)
+        r_new = r_t - jnp.einsum("gba,gbc->gac", o_prev, zr)
+        return (d_new, r_new, o_t), (d_new, r_new)
+
+    # derive the scan inits from the (possibly shard-varying) operands so
+    # their varying-axes types match under shard_map
+    zD = Dm[0] - Dm[0]
+    init = (zD + eye, Rm[0] - Rm[0], zD)
+    _, (Dt, Rt) = jax.lax.scan(fwd, init, (Dm, Rm, Om))
+
+    def bwd(x_next, inp):
+        d_t, r_t, o_t = inp
+        x_t = jnp.linalg.solve(d_t, r_t - jnp.einsum("gab,gbc->gac", o_t, x_next))
+        return x_t, x_t
+
+    _, Xm = jax.lax.scan(bwd, Rm[0] - Rm[0], (Dt, Rt, Om), reverse=True)
+    X = jnp.moveaxis(Xm, 0, 1)  # [G, K, 6, 13]
+
+    X0 = X[:, 0]
+    Xk = jnp.take_along_axis(X, last[:, None, None, None].astype(jnp.int32), axis=1)[:, 0]
+    Arow = jnp.swapaxes(Ca, -1, -2)  # H(sep_a, v_0), gauged
+    Brow = jnp.swapaxes(Cb, -1, -2)
+    corr_a = jnp.einsum("gab,gbc->gac", Arow, X0)  # [G, 6, 13]
+    corr_b = jnp.einsum("gab,gbc->gac", Brow, Xk)
+
+    # reduced separator system: shard-local segment contributions ...
+    segw = segf[:, None, None]
+    Dq_last = jnp.take_along_axis(
+        Dq, struct.seg_len[:, None, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    S_seg = jnp.zeros((s_count, s_count, 6, 6), dtype)
+    S_seg = S_seg.at[struct.seg_a, struct.seg_a].add(Dp[:, 0] * segw - corr_a[..., :6])
+    S_seg = S_seg.at[struct.seg_a, struct.seg_b].add(-corr_a[..., 6:12])
+    S_seg = S_seg.at[struct.seg_b, struct.seg_a].add(-corr_b[..., :6])
+    S_seg = S_seg.at[struct.seg_b, struct.seg_b].add(Dq_last * segw - corr_b[..., 6:12])
+    rhs_seg = jnp.zeros((s_count, 6), dtype)
+    rhs_seg = rhs_seg.at[struct.seg_a].add(-corr_a[..., 12])
+    rhs_seg = rhs_seg.at[struct.seg_b].add(-corr_b[..., 12])
+    if axis_name is not None:
+        S_seg = jax.lax.psum(S_seg, axis_name)
+        rhs_seg = jax.lax.psum(rhs_seg, axis_name)
+    # ... plus the replicated separator-separator edge part
+    S = S_seg
+    sa, sb = struct.sep_edge_a, struct.sep_edge_b
+    S = S.at[sa, sa].add(H_ii[struct.sep_edge])
+    S = S.at[sa, sb].add(H_ij[struct.sep_edge])
+    S = S.at[sb, sa].add(jnp.swapaxes(H_ij[struct.sep_edge], -1, -2))
+    S = S.at[sb, sb].add(H_jj[struct.sep_edge])
+    rhs_sep = rhs[struct.sep_ids] + rhs_seg
+    # gauge + damping on the reduced system (apply_gauge semantics)
+    S = S * free_sep[:, None, None, None] * free_sep[None, :, None, None]
+    diag = jnp.arange(s_count)
+    S = S.at[diag, diag].add(
+        ((1.0 - free_sep) + GAUGE_DAMPING)[:, None, None] * eye
+    )
+    Hs = S.transpose(0, 2, 1, 3).reshape(s_count * 6, s_count * 6)
+    x_sep = _solve_scaled(Hs, (rhs_sep * free_sep[:, None]).reshape(-1)).reshape(
+        s_count, 6
+    )
+    x_sep = x_sep * free_sep[:, None]
+
+    # back-substitute chains from the already-solved columns
+    xa = x_sep[struct.seg_a]
+    xb = x_sep[struct.seg_b]
+    x_int = (
+        X[..., 12]
+        - jnp.einsum("gkab,gb->gka", X[..., :6], xa)
+        - jnp.einsum("gkab,gb->gka", X[..., 6:12], xb)
+    ) * (valid_t * segf[:, None])[..., None]
+
+    dx_int = jnp.zeros((n, 6), dtype).at[struct.seg_vert.reshape(-1)].add(
+        x_int.reshape(-1, 6)
+    )
+    if axis_name is not None:
+        dx_int = jax.lax.psum(dx_int, axis_name)
+    dx = dx_int.at[struct.sep_ids].add(x_sep)
+    return dx * freef[:, None]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _optimize_schur_jit(arrays: GraphArrays, struct: ChainStructure, iterations, delta):
+    """Fixed-count GN loop with the Schur chain direct solver (jit; the
+    elimination structure is static per call)."""
+
+    def body(g, _):
+        H_ii, H_ij, H_jj, b_i, b_j, chi2 = edge_blocks(g, delta)
+        n = g.poses.shape[0]
+        free = g.vertex_mask & ~g.fixed_mask
+        b = jnp.zeros((n, 6), b_i.dtype).at[g.edge_i].add(b_i).at[g.edge_j].add(b_j)
+        dx = schur_chain_solve(struct, n, H_ii, H_ij, H_jj, b, free)
+        g2 = g._replace(poses=g.poses @ se3.exp_se3(dx))
+        return g2, jnp.sum(jnp.where(g.edge_mask, chi2, 0.0))
+
+    return jax.lax.scan(body, arrays, None, length=iterations)
+
+
 def apply_pose_update(graph: GraphArrays, H, b):
     """Solve the assembled system and right-update the free poses."""
     n = graph.poses.shape[0]
@@ -541,6 +860,23 @@ class PoseGraph:
     # memory and O(N^3) solve lose to O(E) CG)
     DENSE_SOLVER_MAX_VERTICES = 128
 
+    def _chain_structure(self, max_level):
+        """Host elimination-structure analysis for the Schur chain solver,
+        under the same gauge convention as optimize() (vertex 0 fixed when
+        nothing is)."""
+        cap = len(self.poses)
+        allocated = np.zeros(cap, bool)
+        allocated[: self._n] = True
+        fixed = (self.fixed & allocated).copy()
+        if not fixed[: self._n].any():
+            fixed[0] = True
+        active = self.edge_active & (
+            self.edge_level[: len(self.edge_i)] <= max_level
+        )
+        return chain_partition(
+            cap, self.edge_i, self.edge_j, active, allocated, allocated & ~fixed
+        )
+
     def _optimize_sparse_direct(self, iterations, delta, arrays):
         """Host-side sparse-direct GN: per-edge blocks on device, exact
         f64 sparse Cholesky/LU on host — the literal architecture of the
@@ -621,13 +957,24 @@ class PoseGraph:
         max_level >= 2 the dense mode including odometry edges.
 
         ``solver``: "auto" uses the dense Cholesky oracle up to
-        DENSE_SOLVER_MAX_VERTICES and block-sparse CG beyond (the
+        DENSE_SOLVER_MAX_VERTICES; beyond that it prefers the Schur chain
+        direct solver when elimination reduces the graph to a small
+        separator set (the dense-final-pass shape: odometry chains between
+        keyframes) and falls back to block-sparse CG otherwise (the
         reference's CSparse role, keyframe_graph.cpp:138-142); "dense" /
-        "cg" force a path."""
+        "cg" / "schur" / "sparse" force a path."""
         if self._n < 2 or self._e < 1:
             return np.zeros(0, self.dtype)
         if solver == "auto":
-            solver = "dense" if self._n <= self.DENSE_SOLVER_MAX_VERTICES else "cg"
+            if self._n <= self.DENSE_SOLVER_MAX_VERTICES:
+                solver = "dense"
+            else:
+                struct = self._chain_structure(max_level)
+                sep_ok = (
+                    struct is not None
+                    and struct.sep_ids.shape[0] <= self.DENSE_SOLVER_MAX_VERTICES
+                )
+                solver = "schur" if sep_ok else "cg"
         if solver == "sparse":
             arrays = self.to_arrays()
             level_mask = self.edge_level[: len(self.edge_i)] <= max_level
@@ -654,7 +1001,26 @@ class PoseGraph:
             arrays = arrays._replace(
                 fixed_mask=arrays.fixed_mask.at[0].set(True)
             )
-        if solver == "cg":
+        if solver == "schur":
+            struct = self._chain_structure(max_level)
+            if struct is None:
+                # nothing to eliminate — the dense oracle IS the reduced
+                # system (or CG for big chain-free graphs)
+                solver = (
+                    "dense" if self._n <= self.DENSE_SOLVER_MAX_VERTICES else "cg"
+                )
+        if solver == "schur":
+            # direct factorization in double like the reference's CSparse
+            # (long chains are too ill-conditioned for f32 elimination)
+            with jax.enable_x64(True):
+                promote = lambda x: (
+                    x.astype(jnp.float64) if x.dtype == jnp.float32 else x
+                )
+                a64 = jax.tree.map(promote, arrays)
+                out, history = _optimize_schur_jit(a64, struct, iterations, delta)
+                out_poses = np.asarray(out.poses)
+                history = np.asarray(history)
+        elif solver == "cg":
             # The reference solves graphs in double (g2o/CSparse); block-CG
             # on big graphs needs the same — f32 stalls on the soft modes
             # of long chains.  enable_x64 scopes the promotion to this

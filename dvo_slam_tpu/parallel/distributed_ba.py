@@ -165,3 +165,94 @@ def distributed_gauss_newton_cg(
 
     poses, history = run(graph)
     return graph._replace(poses=poses), history
+
+
+def pad_chain_structure(struct: pg.ChainStructure, n_dev: int) -> pg.ChainStructure:
+    """Pad the segment axis to a multiple of the mesh size with zero-length
+    segments (schur_chain_solve treats seg_len == 0 as inert)."""
+    import numpy as np
+
+    g = struct.seg_len.shape[0]
+    g_pad = -(-g // n_dev) * n_dev
+    if g_pad == g:
+        return struct
+    extra = g_pad - g
+
+    def pad0(x):
+        a = np.asarray(x)
+        width = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.asarray(np.pad(a, width))
+
+    return struct._replace(
+        seg_edges=pad0(struct.seg_edges),
+        seg_flip=pad0(struct.seg_flip),
+        seg_len=pad0(struct.seg_len),
+        seg_a=pad0(struct.seg_a),
+        seg_b=pad0(struct.seg_b),
+        seg_vert=pad0(struct.seg_vert),
+    )
+
+
+def distributed_gauss_newton_schur(
+    graph: pg.GraphArrays,
+    struct: pg.ChainStructure,
+    mesh: Mesh,
+    iterations: int = 10,
+    delta: float = pg.CAUCHY_DELTA,
+    axis: str = "batch",
+):
+    """Schur-complement distributed BA (BASELINE.json configs 4-5): the
+    degree-2 odometry chains are sharded over the mesh, each device runs
+    the block-tridiagonal elimination sweeps for ITS chains, and the
+    communication per GN iteration is the reduced separator system — one
+    [S, S, 6, 6] + [S, 6] psum (S = separator/keyframe count, independent
+    of trajectory length) plus one [N, 6] psum of the back-substituted
+    chain updates.  The small reduced solve runs replicated.
+
+    Edge-block computation (elementwise over E) is replicated; the O(N)
+    sequential elimination work — the actual bottleneck of chainy graphs —
+    is what parallelizes.  Returns (graph, chi2_history).
+    """
+    struct = pad_chain_structure(struct, mesh.shape[axis])
+
+    seg_specs = pg.ChainStructure(
+        sep_ids=P(),
+        sep_edge=P(),
+        sep_edge_a=P(),
+        sep_edge_b=P(),
+        seg_edges=P(axis),
+        seg_flip=P(axis),
+        seg_len=P(axis),
+        seg_a=P(axis),
+        seg_b=P(axis),
+        seg_vert=P(axis),
+    )
+    graph_specs = jax.tree.map(lambda _: P(), graph)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(graph_specs, seg_specs),
+        out_specs=(P(), P()),
+    )
+    def run(g: pg.GraphArrays, st: pg.ChainStructure):
+        n = g.poses.shape[0]
+        free = g.vertex_mask & ~g.fixed_mask
+
+        def body(carry, _):
+            poses = carry
+            local = g._replace(poses=poses)
+            H_ii, H_ij, H_jj, b_i, b_j, chi2 = pg.edge_blocks(local, delta)
+            b = jnp.zeros((n, 6), b_i.dtype).at[g.edge_i].add(b_i)
+            b = b.at[g.edge_j].add(b_j)
+            dx = pg.schur_chain_solve(
+                st, n, H_ii, H_ij, H_jj, b, free, axis_name=axis
+            )
+            chi2_total = jnp.sum(jnp.where(g.edge_mask, chi2, 0.0))
+            return poses @ se3.exp_se3(dx), chi2_total
+
+        poses, history = jax.lax.scan(body, g.poses, None, length=iterations)
+        return poses, history
+
+    poses, history = run(graph, struct)
+    return graph._replace(poses=poses), history

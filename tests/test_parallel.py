@@ -284,3 +284,55 @@ def test_multistream_sequential_matches_lockstep():
                 np.linalg.inv(np.asarray(lockstep[b, t], np.float64))
                 @ np.asarray(sequential[b, t], np.float64), jnp.float32))))
             assert err.max() < 1e-3, (b, t, err.max())
+
+
+def test_distributed_schur_matches_single_device():
+    """Chain-sharded Schur-complement BA (per-device tridiagonal
+    elimination, one reduced [S, S, 6, 6] psum per GN iteration) must
+    agree with the single-device Schur solver and the dense oracle."""
+
+    def build(n=48, loop_every=8):
+        rng = np.random.default_rng(7)
+        true = [np.eye(4)]
+        for _ in range(n):
+            true.append(true[-1] @ _exp([0.3, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / n]))
+        g = pg.PoseGraph(vertex_capacity=64, edge_capacity=64)
+        g.add_vertex(0, np.eye(4), fixed=True)
+        pose = np.eye(4)
+        for i in range(n):
+            meas = (
+                np.linalg.inv(true[i]) @ true[i + 1] @ _exp(rng.normal(0, 0.01, 6))
+            )
+            pose = pose @ meas
+            g.add_vertex(i + 1, pose)
+            g.add_edge(i, i + 1, meas, np.eye(6))
+        for i in range(0, n - loop_every, loop_every):
+            g.add_edge(
+                i, i + loop_every,
+                np.linalg.inv(true[i]) @ true[i + loop_every],
+                50.0 * np.eye(6), robust=True,
+            )
+        return g
+
+    g1 = build()
+    struct = g1._chain_structure(max_level=0)
+    assert struct is not None
+    assert struct.seg_len.shape[0] > 1  # several chains to shard
+    arrays = g1.to_arrays()
+
+    single, hist_single = pg._optimize_schur_jit(arrays, struct, 10, pg.CAUCHY_DELTA)
+    dense, hist_dense = pg.optimize(arrays, iterations=10, solver="dense")
+
+    m = mesh_lib.make_mesh(8)
+    dist, hist_dist = distributed_ba.distributed_gauss_newton_schur(
+        arrays, struct, m, iterations=10
+    )
+    np.testing.assert_allclose(
+        np.asarray(hist_dist), np.asarray(hist_single), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.poses), np.asarray(single.poses), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.poses), np.asarray(dense.poses), atol=1e-3
+    )

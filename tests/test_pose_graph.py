@@ -273,3 +273,92 @@ def test_sparse_direct_large_graph_oracle_vs_cg():
         _pose_err(g_sp.vertex_pose(i), g_cg.vertex_pose(i)) for i in range(0, n, 41)
     ]
     assert max(errs) < 5e-3, max(errs)
+
+
+def test_schur_chain_matches_dense_small():
+    """The Schur chain-elimination direct solver must reproduce the dense
+    Cholesky oracle exactly (same gauged damped system, two-sweep direct
+    factorization) on a loopy graph with odometry chains between
+    loop-closure separators."""
+    import copy
+
+    g_dense, _ = _loopy_graph(30, seed=3)
+    g_schur = copy.deepcopy(g_dense)
+    h_d = g_dense.optimize(iterations=12, solver="dense")
+    h_s = g_schur.optimize(iterations=12, solver="schur")
+    assert h_s[-1] < h_s[0] * 1e-2
+    np.testing.assert_allclose(h_s[0], h_d[0], rtol=1e-5)
+    errs = [
+        _pose_err(g_dense.vertex_pose(i), g_schur.vertex_pose(i))
+        for i in range(31)
+    ]
+    assert max(errs) < 1e-4, max(errs)
+
+
+def test_schur_pure_ring_cycle_cut():
+    """A pure degree-2 ring (every free vertex interior) exercises the
+    cycle-demotion path: one vertex is cut into a separator and the ring
+    solves as a single a==b segment."""
+    import copy
+
+    n = 24
+    rng = np.random.default_rng(5)
+    step = [0.3, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / n]
+    true = [np.eye(4)]
+    for _ in range(n):
+        true.append(true[-1] @ _exp(step))
+    g = pg.PoseGraph()
+    g.add_vertex(0, np.eye(4), fixed=True)
+    pose = np.eye(4)
+    for i in range(n - 1):
+        meas = _rel(true[i], true[i + 1]) @ _exp(rng.normal(0, 0.01, 6))
+        pose = pose @ meas
+        g.add_vertex(i + 1, pose)
+        g.add_edge(i, i + 1, meas, np.eye(6))
+    # close the ring: every non-fixed vertex has degree exactly 2
+    g.add_edge(n - 1, 0, _rel(true[n - 1], true[n]), np.eye(6))
+    g_dense = copy.deepcopy(g)
+    g.optimize(iterations=10, solver="schur")
+    g_dense.optimize(iterations=10, solver="dense")
+    errs = [_pose_err(g.vertex_pose(i), g_dense.vertex_pose(i)) for i in range(n)]
+    assert max(errs) < 1e-4, max(errs)
+
+
+@pytest.mark.slow
+def test_schur_large_graph_matches_sparse_direct():
+    """600-vertex odometry chain with sparse loop closures: the on-device
+    Schur chain solve must land on the host sparse-direct optimum (the
+    exact oracle), and 'auto' must route this shape to the Schur path."""
+    n = 600
+    rng = np.random.default_rng(9)
+    step = [0.4, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / n]
+    true = [np.eye(4)]
+    for _ in range(n):
+        true.append(true[-1] @ _exp(step))
+
+    def build():
+        g = pg.PoseGraph()
+        g.add_vertex(0, np.eye(4), fixed=True)
+        r2 = np.random.default_rng(11)
+        for i in range(n):
+            g.add_vertex(i + 1, true[i + 1] @ _exp(r2.normal(0, 0.03, 6)))
+            g.add_edge(i, i + 1, _rel(true[i], true[i + 1]), np.eye(6))
+        for i in range(0, n - 32, 32):
+            g.add_edge(i, i + 32, _rel(true[i], true[i + 32]), 10.0 * np.eye(6))
+        return g
+
+    g_sc = build()
+    struct = g_sc._chain_structure(max_level=0)
+    assert struct is not None
+    # separators = fixed anchor + loop-closure endpoints only
+    assert struct.sep_ids.shape[0] <= 2 * (n // 32) + 2
+    hist_sc = g_sc.optimize(iterations=6, solver="schur")
+    g_sp = build()
+    hist_sp = g_sp.optimize(iterations=6, solver="sparse")
+    assert hist_sc[-1] < hist_sc[0] * 1e-4
+    # both land at the optimum (chi2 ~ 1e-8, machine zero of the problem)
+    assert abs(hist_sc[-1] - hist_sp[-1]) < 1e-6 * hist_sc[0]
+    errs = [
+        _pose_err(g_sc.vertex_pose(i), g_sp.vertex_pose(i)) for i in range(0, n, 41)
+    ]
+    assert max(errs) < 1e-4, max(errs)
