@@ -54,6 +54,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--shape", default="480x640",
                    help="synthetic frame size HxW (default 480x640)")
     p.add_argument("--timing", action="store_true", help="print phase timing summary")
+    p.add_argument(
+        "--interactive-html", default=None, metavar="FILE",
+        help="SLAM mode: export the self-contained interactive pose-graph "
+        "viewer (rotate/zoom, chi2-colored clickable edges, point clouds) "
+        "after the final optimization",
+    )
     return p
 
 
@@ -183,6 +189,14 @@ def main(argv=None):
     trajectory.write_tum_trajectory(
         os.path.join(args.output_dir, args.trajectory_file), stamps, est_poses
     )
+
+    if args.interactive_html and args.mode == "slam":
+        from ..utils.interactive_viz import export_interactive_graph
+
+        export_interactive_graph(
+            os.path.join(args.output_dir, args.interactive_html),
+            kt.graph, intrinsics=intrinsics,
+        )
 
     report = {"frames": n_frames, "mode": args.mode}
     if gt_poses is not None and len(gt_poses):

@@ -168,3 +168,70 @@ def test_edge_error_image_export(tmp_path):
             assert os.path.getsize(p) > 1000
     else:  # tiny scene may produce no robust edges; graph must still exist
         assert len(kt.graph.keyframes) >= 1
+
+
+def test_interactive_graph_export(tmp_path):
+    """export_interactive_graph writes one self-contained HTML file whose
+    embedded JSON payload carries the full graph (keyframes, edges with
+    chi2/robust weight, trajectory, point clouds) — the headless-interactive
+    equivalent of GraphVisualizer + RosCameraTrajectoryVisualizer."""
+    import json
+    import re
+
+    from dvo_slam_tpu.config import GraphConfig, KeyframeConfig, SlamConfig, TrackerConfig
+    from dvo_slam_tpu.models.keyframe_tracker import KeyframeTracker
+    from dvo_slam_tpu.models.frames import Frame
+    from dvo_slam_tpu.utils.interactive_viz import export_interactive_graph
+
+    k = Intrinsics(40.0, 40.0, 19.5, 14.5)
+    cfg = SlamConfig(
+        tracker=TrackerConfig(first_level=1, last_level=0,
+                              max_iterations_per_level=15, precision=1e-4,
+                              use_initial_estimate=True),
+        keyframe=KeyframeConfig(max_translational_distance=0.04,
+                                min_entropy_ratio=0.5,
+                                min_equation_system_constraint_ratio=0.1),
+        graph=GraphConfig(new_constraint_search_radius=5.0,
+                          new_constraint_min_entropy_ratio_coarse=0.03,
+                          new_constraint_min_entropy_ratio_fine=0.3,
+                          min_equation_system_constraint_ratio=0.1,
+                          optimization_iterations=10,
+                          final_optimization_iterations=20),
+    )
+    poses = synthetic.circular_trajectory(10, radius=0.05, rot_amplitude=0.02)
+    kt = KeyframeTracker(k, cfg)
+    kt.init()
+    for i, pose in enumerate(poses):
+        intensity, depth, valid = synthetic.render_frame(pose, k, (30, 40), seed=i)
+        kt.update(Frame.from_arrays(intensity, depth, valid, i / 30.0,
+                                    cfg.tracker.num_levels))
+    kt.force_keyframe()
+    kt.finish()
+
+    out = str(tmp_path / "graph.html")
+    export_interactive_graph(out, kt.graph, intrinsics=k, cloud_level=1)
+    html = open(out).read()
+    assert "<canvas" in html and "showEdge" in html  # viewer shipped inline
+    payload = json.loads(re.search(r"const D = (.*?);\n", html).group(1))
+    assert len(payload["keyframes"]) == len(kt.graph.keyframes)
+    assert len(payload["trajectory"]) >= len(payload["keyframes"])
+    assert payload["edges"], "graph must carry edges"
+    e = payload["edges"][0]
+    for field in ("a", "b", "chi2", "w", "robust", "active", "k"):
+        assert field in e
+    # point clouds embedded for keyframes with retained pyramids
+    assert payload["clouds"], "expected embedded point clouds"
+    c = payload["clouds"][0]
+    assert len(c["pts"]) == 3 * len(c["gray"]) > 0
+
+    # live mode: map-changed callback re-exports with a meta-refresh
+    from dvo_slam_tpu.utils.interactive_viz import attach_live_viewer
+
+    live = str(tmp_path / "live.html")
+    cb = attach_live_viewer(kt.graph, live, intrinsics=k, refresh_seconds=1.5,
+                            cloud_level=1, error_images=False)
+    assert callable(cb)
+    kt.graph._fire_map_changed()
+    live_html = open(live).read()
+    assert 'http-equiv="refresh" content="1.5"' in live_html
+    assert "const D = " in live_html
