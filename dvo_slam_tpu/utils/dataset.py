@@ -90,6 +90,14 @@ class TumDataset:
                 os.path.join(root, "rgb.txt"), os.path.join(root, "depth.txt")
             )
         self.intrinsics = intrinsics_for_sequence(os.path.basename(os.path.normpath(root)))
+        # minimal extension over real TUM layouts: an intrinsics.txt
+        # ("fx fy ox oy") overrides the per-freiburg hard-coded presets
+        # (benchmark_slam.cpp:384-390) for synthetic/custom rigs
+        intr_path = os.path.join(root, "intrinsics.txt")
+        if os.path.exists(intr_path):
+            with open(intr_path) as f:
+                fx, fy, ox, oy = (float(x) for x in f.read().split()[:4])
+            self.intrinsics = Intrinsics(fx, fy, ox, oy)
 
     @staticmethod
     def _parse_assoc(path: str) -> List[Tuple[float, str, float, str]]:
