@@ -55,6 +55,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="synthetic frame size HxW (default 480x640)")
     p.add_argument("--timing", action="store_true", help="print phase timing summary")
     p.add_argument(
+        "--profile-dir", default=None, metavar="DIR",
+        help="capture a jax.profiler device trace of the run into DIR "
+        "(view with TensorBoard/xprof; the device-side complement of "
+        "--timing's host phase taxonomy)",
+    )
+    p.add_argument(
         "--interactive-html", default=None, metavar="FILE",
         help="SLAM mode: export the self-contained interactive pose-graph "
         "viewer (rotate/zoom, chi2-colored clickable edges, point clouds) "
@@ -113,6 +119,12 @@ def main(argv=None):
     timers = PhaseTimers()
     stamps, est_poses = [], []
     n_frames = len(ds) if not args.max_frames else min(len(ds), args.max_frames)
+
+    if args.profile_dir:
+        import jax
+
+        os.makedirs(args.profile_dir, exist_ok=True)
+        jax.profiler.start_trace(args.profile_dir)
 
     if args.mode == "slam" and args.engine == "streaming":
         from ..models.streaming import StreamingSLAM
@@ -184,6 +196,11 @@ def main(argv=None):
             stamps.append(frame_np.timestamp)
             est_poses.append(pose.copy())
         opt_stamps, opt_poses = np.asarray(stamps), np.asarray(est_poses)
+
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
 
     os.makedirs(args.output_dir, exist_ok=True)
     trajectory.write_tum_trajectory(
