@@ -245,15 +245,31 @@ def _match_level(
     collect_stats: bool = False,
     refpack=None,
     quad=None,
+    quad_offset=None,
 ):
     """Run the IRLS Gauss-Newton iteration on one pyramid level.
 
     ``refpack``/``quad`` are the per-level cached artifacts of the fused
     path (see :func:`prepare_frame`); computed on the fly when absent.
+    ``ref_level`` may be None when ``refpack`` is given (the fused path
+    needs only the level SHAPE, taken from ``sel_mask``) — this keeps
+    scanned front-end carries free of unused full-resolution tensors.
+    ``quad_offset`` is the flat stream-batching lane offset into a shared
+    [32, B*N] quad table (see interp.bilinear_sample_quad_cm).
     """
-    dtype = ref_level.intensity.dtype
     backend = _resolve_backend(cfg)
     dof = cfg.influence_function_param
+    if ref_level is None:
+        if backend == "xla" or refpack is None:
+            raise ValueError(
+                "ref_level=None requires the fused/pallas backend with a "
+                "prepared refpack"
+            )
+        dtype = refpack.dtype
+        level_shape = sel_mask.shape
+    else:
+        dtype = ref_level.intensity.dtype
+        level_shape = ref_level.intensity.shape
     if backend in ("fused", "pallas") and refpack is None:
         refpack = _build_refpack(ref_level, sel_mask, intrinsics)
 
@@ -287,14 +303,14 @@ def _match_level(
             if cur_accel.ndim == 3
             else cur_accel
         )
-        quad = build_quad_table_cm(accel_cm, ref_level.intensity.shape[1])
+        quad = build_quad_table_cm(accel_cm, level_shape[1])
 
     def evaluate_fused(T, P_prev, first):
         """Fused path: the warp gather feeds the two-pass kernel (Pallas
         on TPU, XLA twin elsewhere), which emits the Gram partials AND the
         log1p sum — per-pixel residuals/weights never round-trip HBM."""
         sampled = warp_and_sample_cm(
-            refpack, quad, ref_level.intensity.shape, intrinsics, T
+            refpack, quad, level_shape, intrinsics, T, lane_offset=quad_offset
         )
         p3 = jnp.stack([P_prev[0, 0], P_prev[0, 1], P_prev[1, 1]])
         fn = (
@@ -502,6 +518,26 @@ def prepare_frame(
     )
 
 
+def ref_artifacts(prepared: PreparedFrame) -> PreparedFrame:
+    """Strip a PreparedFrame down to its REFERENCE-role artifacts
+    (selection mask + refpack) for the fused path.
+
+    The cur-role artifacts (quad table, acceleration tensor) and the full
+    pyramid levels are dropped — scanned front ends carry keyframes across
+    steps and every carried byte is a per-frame select/copy, so the carry
+    should hold only what the next match reads (local_tracker.cpp:162-169
+    caches exactly the per-role structures too).
+    """
+    none = (None,) * len(prepared.levels)
+    return PreparedFrame(
+        levels=none,
+        sel=prepared.sel,
+        refpack=prepared.refpack,
+        accel=none,
+        quad=none,
+    )
+
+
 def match_prepared(
     cfg: TrackerConfig,
     intrinsics: Intrinsics,
@@ -509,14 +545,23 @@ def match_prepared(
     cur: PreparedFrame,
     initial_transformation=None,
     collect_iteration_stats: bool = False,
+    quad_offset=None,
 ) -> TrackingResult:
     """Align two PREPARED frames — the cached-artifact core of
     :func:`match_pyramids` (which prepares on the fly).  Use this with
     :func:`prepare_frame` to amortize per-keyframe selection/refpack and
     per-frame acceleration/quad-table builds across match calls, as the
     reference does (point_selection.cpp:89-117, local_tracker.cpp:162-169).
+
+    ``quad_offset`` (per-level tuple of scalars) selects this stream's
+    lane segment of FLAT stream-batched quad tables in ``cur.quad`` — see
+    interp.bilinear_sample_quad_cm; None for per-stream tables.
     """
-    dtype = ref.levels[cfg.first_level].intensity.dtype
+    first = ref.levels[cfg.first_level]
+    dtype = (
+        first.intensity.dtype if first is not None
+        else ref.refpack[cfg.first_level].dtype
+    )
     if initial_transformation is None:
         guess = jnp.eye(4, dtype=dtype)
     else:
@@ -546,6 +591,7 @@ def match_prepared(
             collect_stats=collect_iteration_stats,
             refpack=ref.refpack[level],
             quad=cur.quad[level],
+            quad_offset=None if quad_offset is None else quad_offset[level],
         )
         level_stats.append(stats)
         if collect_iteration_stats:

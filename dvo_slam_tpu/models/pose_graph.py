@@ -94,25 +94,30 @@ def assemble_blocks(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j):
     return H, b
 
 
-def apply_gauge(H, b, free):
+GAUGE_DAMPING = 1e-6  # numerical-safety floor of every solver's damping
+
+
+def apply_gauge(H, b, free, damping=GAUGE_DAMPING):
     """Zero rows/cols of fixed vertices, identity on their diagonal, plus
-    small Levenberg damping; flatten to ([6N, 6N], [6N])."""
+    Levenberg damping; flatten to ([6N, 6N], [6N]).
+
+    ``damping`` defaults to the tiny numerical-safety floor (plain GN);
+    the LM loop passes its adapted lambda here instead
+    (reference: g2o Levenberg, local_map.cpp:57-90)."""
     n = H.shape[0]
     freef = free.astype(H.dtype)
     H = H * freef[:, None, None, None] * freef[None, :, None, None]
     eye = jnp.eye(6, dtype=H.dtype)
     diag_fix = (1.0 - freef)[:, None, None] * eye
     H = H.at[jnp.arange(n), jnp.arange(n)].add(diag_fix)
-    # small Levenberg damping for numerical safety on weakly constrained
-    # subgraphs (g2o's Dogleg serves the same robustness role)
-    H = H.at[jnp.arange(n), jnp.arange(n)].add(1e-6 * eye)
+    H = H.at[jnp.arange(n), jnp.arange(n)].add(damping * eye)
     b = b * freef[:, None]
     return H.transpose(0, 2, 1, 3).reshape(n * 6, n * 6), b.reshape(n * 6)
 
 
-def _assemble_dense(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j, free):
+def _assemble_dense(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j, free, damping=GAUGE_DAMPING):
     H, b = assemble_blocks(n, ei, ej, H_ii, H_ij, H_jj, b_i, b_j)
-    return apply_gauge(H, b, free)
+    return apply_gauge(H, b, free, damping)
 
 
 def _solve_scaled(H, b):
@@ -150,10 +155,9 @@ def edge_blocks(graph: GraphArrays, delta: float = CAUCHY_DELTA):
     return H_ii, H_ij, H_jj, b_i, b_j, chi2
 
 
-GAUGE_DAMPING = 1e-6  # matches apply_gauge's Levenberg term
-
-
-def block_diag_preconditioner(n, ei, ej, H_ii, H_jj, free, dtype, axis_name=None):
+def block_diag_preconditioner(
+    n, ei, ej, H_ii, H_jj, free, dtype, axis_name=None, damping=GAUGE_DAMPING
+):
     """Cholesky factors of the block-Jacobi preconditioner: the per-vertex
     6x6 diagonal blocks of the gauged system (scatter-add of each edge's
     diagonal contributions + damping, identity on fixed vertices).  With
@@ -167,7 +171,7 @@ def block_diag_preconditioner(n, ei, ej, H_ii, H_jj, free, dtype, axis_name=None
     if axis_name is not None:
         D = jax.lax.psum(D, axis_name)
     D = D * freef[:, None, None] + (1.0 - freef)[:, None, None] * eye
-    D = D + GAUGE_DAMPING * eye
+    D = D + damping * eye
     return jax.vmap(jnp.linalg.cholesky)(D)
 
 
@@ -186,14 +190,14 @@ def edge_matvec_partial(ei, ej, H_ii, H_ij, H_jj, free, x):
     return y * freef
 
 
-def _gauge_terms(x, free):
+def _gauge_terms(x, free, damping=GAUGE_DAMPING):
     """Identity rows for fixed/unallocated vertices + Levenberg damping on
     free rows (matching :func:`apply_gauge`)."""
     freef = free.astype(x.dtype)[:, None]
-    return GAUGE_DAMPING * x * freef + x * (1.0 - freef)
+    return damping * x * freef + x * (1.0 - freef)
 
 
-def edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, x):
+def edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, x, damping=GAUGE_DAMPING):
     """y = H_gauged @ x without materializing H: gather the two endpoint
     blocks of x per edge, apply the 6x6 blocks, scatter-add the results —
     the block-sparse SpMV whose per-edge unit matches the reference's
@@ -203,7 +207,7 @@ def edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, x):
     act as identity rows, free rows carry the Levenberg damping.
     """
     return edge_matvec_partial(ei, ej, H_ii, H_ij, H_jj, free, x) + _gauge_terms(
-        x, free
+        x, free, damping
     )
 
 
@@ -219,6 +223,7 @@ def solve_blocks_cg(
     iterations: int = 100,
     tol: float = 1e-6,
     axis_name: Optional[str] = None,
+    damping=GAUGE_DAMPING,
 ):
     """Preconditioned conjugate gradients on the block-sparse gauged
     normal equations — the scalable replacement for the dense [6N, 6N]
@@ -232,7 +237,9 @@ def solve_blocks_cg(
     iteration instead of the O(N^2) dense-system reduction."""
     dtype = rhs.dtype
     rhs = rhs * free.astype(dtype)[:, None]
-    L = block_diag_preconditioner(n, ei, ej, H_ii, H_jj, free, dtype, axis_name)
+    L = block_diag_preconditioner(
+        n, ei, ej, H_ii, H_jj, free, dtype, axis_name, damping
+    )
 
     def precond(r):
         y = jax.vmap(
@@ -243,11 +250,11 @@ def solve_blocks_cg(
         )(L, y)
 
     if axis_name is None:
-        matvec = lambda v: edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, v)
+        matvec = lambda v: edge_matvec(ei, ej, H_ii, H_ij, H_jj, free, v, damping)
     else:
         def matvec(v):
             part = edge_matvec_partial(ei, ej, H_ii, H_ij, H_jj, free, v)
-            return jax.lax.psum(part, axis_name) + _gauge_terms(v, free)
+            return jax.lax.psum(part, axis_name) + _gauge_terms(v, free, damping)
 
     x0 = jnp.zeros_like(rhs)
     r0 = rhs  # b - H @ 0
@@ -416,7 +423,8 @@ def chain_partition(n, ei, ej, active, allocated, free):
 
 
 def schur_chain_solve(
-    struct: ChainStructure, n, H_ii, H_ij, H_jj, b, free, axis_name=None
+    struct: ChainStructure, n, H_ii, H_ij, H_jj, b, free, axis_name=None,
+    damping=GAUGE_DAMPING,
 ):
     """Exact direct solve of the gauged normal equations by chain
     elimination: block-tridiagonal forward/backward sweeps (lax.scan of
@@ -459,7 +467,7 @@ def schur_chain_solve(
     last = jnp.maximum(struct.seg_len - 1, 0)
 
     # interior tridiagonal: D_t = Dq(edge t) + Dp(edge t+1) + damping
-    D = Dq[:, :k_max] + Dp[:, 1:] + GAUGE_DAMPING * eye
+    D = Dq[:, :k_max] + Dp[:, 1:] + damping * eye
     D = jnp.where(valid_t[..., None, None], D, eye)
     # off-diagonal O_t couples interior t -> t+1 (edge t+1), real for t <= k-2
     valid_o = tpos[None, :] < (struct.seg_len[:, None] - 1)
@@ -551,7 +559,7 @@ def schur_chain_solve(
     S = S * free_sep[:, None, None, None] * free_sep[None, :, None, None]
     diag = jnp.arange(s_count)
     S = S.at[diag, diag].add(
-        ((1.0 - free_sep) + GAUGE_DAMPING)[:, None, None] * eye
+        ((1.0 - free_sep) + damping)[:, None, None] * eye
     )
     Hs = S.transpose(0, 2, 1, 3).reshape(s_count * 6, s_count * 6)
     x_sep = _solve_scaled(Hs, (rhs_sep * free_sep[:, None]).reshape(-1)).reshape(
@@ -656,6 +664,109 @@ def optimize(
 
     graph, history = jax.lax.scan(body, graph, None, length=iterations)
     return graph, history
+
+
+def _graph_chi2(graph: GraphArrays, delta=CAUCHY_DELTA):
+    """Total robustified chi2 at the current poses — the LM accept metric.
+
+    Matches g2o's activeRobustChi2(): robust edges contribute
+    rho(chi2) = delta^2 log(1 + chi2/delta^2) (Cauchy), so a gross
+    outlier cannot mask genuine improvement elsewhere."""
+    _, _, chi2 = edge_residuals(graph)
+    d2 = delta * delta
+    rho = jnp.where(graph.robust, d2 * jnp.log1p(chi2 / d2), chi2)
+    return jnp.sum(jnp.where(graph.edge_mask, rho, 0.0))
+
+
+def _solve_step(graph: GraphArrays, delta, solver, cg_iterations, damping, struct=None):
+    """One damped normal-equations solve at the current poses.
+
+    Returns (dx [N, 6], b [N, 6], chi2_robust []) — the shared unit of the
+    GN and LM loops across the dense / CG / Schur solver paths."""
+    H_ii, H_ij, H_jj, b_i, b_j, chi2 = edge_blocks(graph, delta)
+    n = graph.poses.shape[0]
+    free = graph.vertex_mask & ~graph.fixed_mask
+    b = jnp.zeros((n, 6), b_i.dtype).at[graph.edge_i].add(b_i)
+    b = b.at[graph.edge_j].add(b_j)
+    if solver == "dense":
+        H, bf = _assemble_dense(
+            n, graph.edge_i, graph.edge_j, H_ii, H_ij, H_jj, b_i, b_j, free,
+            damping,
+        )
+        dx = _solve_scaled(H, -bf).reshape(n, 6)
+    elif solver == "cg":
+        dx = solve_blocks_cg(
+            n, graph.edge_i, graph.edge_j, H_ii, H_ij, H_jj, -b, free,
+            iterations=cg_iterations, damping=damping,
+        )
+    elif solver == "schur":
+        dx = schur_chain_solve(
+            struct, n, H_ii, H_ij, H_jj, b, free, damping=damping
+        )
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+    dx = jnp.where(free[:, None], dx, 0.0)
+    return dx, b, _graph_chi2(graph, delta)
+
+
+def optimize_lm(
+    graph: GraphArrays,
+    iterations: int,
+    delta: float = CAUCHY_DELTA,
+    solver: str = "dense",
+    cg_iterations: int = 100,
+    struct: Optional[ChainStructure] = None,
+    lambda_init: float = 1e-5,
+    lambda_min: float = 1e-10,
+    lambda_max: float = 1e8,
+):
+    """Levenberg-Marquardt with Nielsen lambda adaptation — the adaptive
+    trust-region loop the reference gets from g2o (LM on the local map,
+    local_map.cpp:57-90, 208-213; Dogleg on the global graph,
+    keyframe_graph.cpp:138-142 — both adapt per iteration, where plain GN
+    can diverge on a bad loop closure or near-singular subgraph).
+
+    Each scan step solves (H + lambda I) dx = -b through the selected
+    solver path, evaluates the candidate's ROBUSTIFIED chi2, and
+    accepts/rejects: on accept lambda shrinks by Nielsen's gain-ratio
+    factor max(1/3, 1 - (2 rho - 1)^3); on reject the step is discarded
+    and lambda grows by the doubling sequence nu.  Rejected steps count
+    against ``iterations`` (as in g2o).  Returns (graph, chi2_history)
+    with the chi2 BEFORE each step (monotone non-increasing)."""
+
+    def body(carry, _):
+        g, lam, nu = carry
+        dx, b, chi2_cur = _solve_step(
+            g, delta, solver, cg_iterations, GAUGE_DAMPING + lam, struct
+        )
+        cand = g._replace(poses=g.poses @ se3.exp_se3(dx))
+        chi2_new = _graph_chi2(cand, delta)
+        # predicted chi2 decrease of the damped quadratic model:
+        # dx^T (lambda dx - b) (the g2o Levenberg scale term)
+        pred = jnp.sum(dx * (lam * dx - b))
+        rho = (chi2_cur - chi2_new) / jnp.maximum(pred, 1e-30)
+        accept = (chi2_new < chi2_cur) & jnp.isfinite(chi2_new)
+        poses = jnp.where(accept, cand.poses, g.poses)
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(accept, lam * shrink, lam * nu)
+        lam = jnp.clip(lam, lambda_min, lambda_max)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        return (g._replace(poses=poses), lam, nu), chi2_cur
+
+    dtype = graph.poses.dtype
+    init = (graph, jnp.asarray(lambda_init, dtype), jnp.asarray(2.0, dtype))
+    (graph, _, _), history = jax.lax.scan(body, init, None, length=iterations)
+    return graph, history
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _optimize_lm_jit(arrays, iterations, delta, solver, cg_iterations):
+    return optimize_lm(arrays, iterations, delta, solver, cg_iterations)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _optimize_schur_lm_jit(arrays, struct, iterations, delta):
+    return optimize_lm(arrays, iterations, delta, solver="schur", struct=struct)
 
 
 def edge_robust_weights(graph: GraphArrays, delta: float = CAUCHY_DELTA):
@@ -877,13 +988,19 @@ class PoseGraph:
             cap, self.edge_i, self.edge_j, active, allocated, allocated & ~fixed
         )
 
-    def _optimize_sparse_direct(self, iterations, delta, arrays):
-        """Host-side sparse-direct GN: per-edge blocks on device, exact
+    def _optimize_sparse_direct(self, iterations, delta, arrays, algorithm="gn"):
+        """Host-side sparse-direct GN/LM: per-edge blocks on device, exact
         f64 sparse Cholesky/LU on host — the literal architecture of the
         reference's g2o+CSparse backends (keyframe_graph.cpp:138-142:
         Jacobians in the optimizer, factorization in a host sparse
         library).  Exact at any N; the oracle for the iterative CG path
         on graphs too big for the dense solver."""
+        with jax.enable_x64(True):
+            return self._optimize_sparse_direct_x64(
+                iterations, delta, arrays, algorithm
+            )
+
+    def _optimize_sparse_direct_x64(self, iterations, delta, arrays, algorithm):
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
 
@@ -894,8 +1011,16 @@ class PoseGraph:
         ei = np.asarray(arrays.edge_i)
         ej = np.asarray(arrays.edge_j)
         history = []
+        # the blocks feed an exact f64 factorization — compute them in f64
+        # too (the device solvers promote the same way)
+        arrays = jax.tree.map(
+            lambda x: x.astype(jnp.float64) if x.dtype == jnp.float32 else x,
+            arrays,
+        )
         blocks_fn = jax.jit(functools.partial(edge_blocks, delta=delta))
+        chi2_fn = jax.jit(functools.partial(_graph_chi2, delta=delta))
         poses = arrays.poses
+        lam, nu = 1e-5, 2.0  # LM state (Nielsen adaptation, as optimize_lm)
         for _ in range(iterations):
             g = arrays._replace(poses=poses)
             H_ii, H_ij, H_jj, b_i, b_j, chi2 = blocks_fn(g)
@@ -930,7 +1055,8 @@ class PoseGraph:
             # on fixed/unallocated ones (matching apply_gauge)
             diag = np.arange(n)
             diag_idx = (diag[:, None] * 6 + r6[None]).ravel()
-            diag_vals = np.where(free, GAUGE_DAMPING, 1.0 + GAUGE_DAMPING)
+            damping = GAUGE_DAMPING + (lam if algorithm == "lm" else 0.0)
+            diag_vals = np.where(free, damping, 1.0 + damping)
             rows.append(diag_idx)
             cols.append(diag_idx)
             vals.append(np.repeat(diag_vals, 6))
@@ -941,7 +1067,21 @@ class PoseGraph:
             rhs = (-b * freef[:, None]).ravel()
             dx = spla.spsolve(H, rhs).reshape(n, 6)
             dx = np.where(free[:, None], dx, 0.0)
-            poses = poses @ se3_ops.exp_se3(jnp.asarray(dx, arrays.poses.dtype))
+            cand = poses @ se3_ops.exp_se3(jnp.asarray(dx, arrays.poses.dtype))
+            if algorithm == "lm":
+                chi2_cur = float(chi2_fn(arrays._replace(poses=poses)))
+                chi2_new = float(chi2_fn(arrays._replace(poses=cand)))
+                if np.isfinite(chi2_new) and chi2_new < chi2_cur:
+                    poses = cand
+                    pred = float(np.sum(dx * (lam * dx - b)))
+                    rho = (chi2_cur - chi2_new) / max(pred, 1e-30)
+                    lam = max(1e-10, lam * max(1.0 / 3.0, 1.0 - (2 * rho - 1) ** 3))
+                    nu = 2.0
+                else:
+                    lam = min(1e8, lam * nu)
+                    nu *= 2.0
+            else:
+                poses = cand
         self.poses[: self._n] = np.asarray(poses)[: self._n]
         return np.asarray(history, self.dtype)
 
@@ -951,6 +1091,7 @@ class PoseGraph:
         delta: float = CAUCHY_DELTA,
         max_level: int = 0,
         solver: str = "auto",
+        algorithm: str = "lm",
     ) -> np.ndarray:
         """Optimize in place over edges with level <= max_level; returns the
         chi2 history.  max_level=0 is the sparse keyframe-graph mode,
@@ -962,9 +1103,18 @@ class PoseGraph:
         separator set (the dense-final-pass shape: odometry chains between
         keyframes) and falls back to block-sparse CG otherwise (the
         reference's CSparse role, keyframe_graph.cpp:138-142); "dense" /
-        "cg" / "schur" / "sparse" force a path."""
+        "cg" / "schur" / "sparse" force a path.
+
+        ``algorithm``: "lm" (default) runs Levenberg-Marquardt with
+        adaptive lambda — chi2-increase steps are REJECTED and damping
+        grows, matching the reference's g2o Levenberg/Dogleg behavior
+        (local_map.cpp:57-90, keyframe_graph.cpp:138-142); "gn" runs the
+        fixed-damping Gauss-Newton loop (the round-2 behavior, kept for
+        parity/oracle use)."""
         if self._n < 2 or self._e < 1:
             return np.zeros(0, self.dtype)
+        if algorithm not in ("gn", "lm"):
+            raise ValueError(f"unknown algorithm {algorithm!r}")
         if solver == "auto":
             if self._n <= self.DENSE_SOLVER_MAX_VERTICES:
                 solver = "dense"
@@ -985,7 +1135,7 @@ class PoseGraph:
                 arrays = arrays._replace(
                     fixed_mask=arrays.fixed_mask.at[0].set(True)
                 )
-            return self._optimize_sparse_direct(iterations, delta, arrays)
+            return self._optimize_sparse_direct(iterations, delta, arrays, algorithm)
         # Krylov bound: a chain of N vertices needs ~N CG iterations to
         # propagate a correction end to end; the tolerance check exits
         # early on well-conditioned (loopy) graphs.
@@ -1009,6 +1159,7 @@ class PoseGraph:
                 solver = (
                     "dense" if self._n <= self.DENSE_SOLVER_MAX_VERTICES else "cg"
                 )
+        lm = algorithm == "lm"
         if solver == "schur":
             # direct factorization in double like the reference's CSparse
             # (long chains are too ill-conditioned for f32 elimination)
@@ -1017,7 +1168,8 @@ class PoseGraph:
                     x.astype(jnp.float64) if x.dtype == jnp.float32 else x
                 )
                 a64 = jax.tree.map(promote, arrays)
-                out, history = _optimize_schur_jit(a64, struct, iterations, delta)
+                run = _optimize_schur_lm_jit if lm else _optimize_schur_jit
+                out, history = run(a64, struct, iterations, delta)
                 out_poses = np.asarray(out.poses)
                 history = np.asarray(history)
         elif solver == "cg":
@@ -1030,11 +1182,13 @@ class PoseGraph:
                     lambda x: x.astype(jnp.float64) if x.dtype == jnp.float32 else x,
                     arrays,
                 )
-                out, history = optimize(a64, iterations, delta, solver, cg_iterations)
+                run = optimize_lm if lm else optimize
+                out, history = run(a64, iterations, delta, solver, cg_iterations)
                 out_poses = np.asarray(out.poses)
                 history = np.asarray(history)
         else:
-            out, history = _optimize_jit(arrays, iterations, delta, solver, cg_iterations)
+            run = _optimize_lm_jit if lm else _optimize_jit
+            out, history = run(arrays, iterations, delta, solver, cg_iterations)
             out_poses = np.asarray(out.poses)
             history = np.asarray(history)
         self.poses[: self._n] = out_poses[: self._n]

@@ -35,7 +35,13 @@ import numpy as np
 from ..config import SlamConfig
 from ..ops.camera import Intrinsics
 from ..ops.pyramid import build_pyramid, convert_raw_depth
-from .dense_tracker import PreparedFrame, match_prepared, prepare_frame
+from .dense_tracker import (
+    PreparedFrame,
+    _resolve_backend,
+    match_prepared,
+    prepare_frame,
+    ref_artifacts,
+)
 from .frames import Frame
 from .keyframe_graph import KeyframeGraph
 from .local_map import LocalMap
@@ -139,6 +145,8 @@ def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics):
             r.last_level.valid_pixels,
         )
 
+    fused = _resolve_backend(tcfg) in ("fused", "pallas")
+
     def step(state: _State, inputs):
         iu8, du16, force_flag = inputs
         cur = prep(build(iu8, du16))
@@ -152,9 +160,17 @@ def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics):
         ref_b = jax.tree.map(
             lambda a, b: jnp.stack([a, b]), state.kf, state.last
         )
-        cur_b = jax.tree.map(lambda x: jnp.stack([x, x]), cur)
         init_b = jnp.stack([init_kf, eye])
-        r = jax.vmap(match)(ref_b, cur_b, init_b)
+        if fused:
+            # both matches sample the SAME current frame, so its quad
+            # table enters UNBATCHED (in_axes=None): the solver loop runs
+            # one flat 2M-row gather instead of XLA's slow batched-gather
+            # lowering, and the 12+MB of per-frame tables are never
+            # duplicated (see interp.bilinear_sample_quad_cm)
+            r = jax.vmap(match, in_axes=(0, None, 0))(ref_b, cur, init_b)
+        else:
+            cur_b = jax.tree.map(lambda x: jnp.stack([x, x]), cur)
+            r = jax.vmap(match)(ref_b, cur_b, init_b)
         r_kf = jax.tree.map(lambda x: x[0], r)
         r_odo = jax.tree.map(lambda x: x[1], r)
         kf_T, kf_info, kf_nll, kf_n, kf_pix = res_of(r_kf)
@@ -194,9 +210,12 @@ def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics):
         sel = lambda a, b: jax.tree.map(
             lambda x, y: jnp.where(accept, x, y), a, b
         )
+        # the carry holds only the ref-role artifacts in the fused path:
+        # carried quad tables / full levels would cost a >12MB masked
+        # select per frame and are never read by the next dual match
         new_state = _State(
             kf=sel(state.kf, state.last),
-            last=cur,
+            last=ref_artifacts(cur) if fused else cur,
             kf_pose=jnp.where(accept, state.kf_pose, state.last_pose),
             last_pose=jnp.where(
                 accept, state.kf_pose @ kf_T, state.last_pose @ switch_T
@@ -234,8 +253,8 @@ def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics):
         T0m = jnp.where(ok0, T0, eye)
         init_T = init_T.astype(jnp.float32)
         state = _State(
-            kf=f0,
-            last=f1,
+            kf=ref_artifacts(f0) if fused else f0,
+            last=ref_artifacts(f1) if fused else f1,
             kf_pose=init_T,
             last_pose=init_T @ T0m,
             last_to_kf=T0,

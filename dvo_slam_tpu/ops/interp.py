@@ -163,11 +163,19 @@ def build_quad_table_cm(accel_cm, width: int):
     return jnp.concatenate([accel_cm, right, down, down_right], axis=0)
 
 
-def bilinear_sample_quad_cm(quad_cm, shape, u, v):
+def bilinear_sample_quad_cm(quad_cm, shape, u, v, lane_offset=None):
     """Bilinear sampling through the channel-major quad table: ONE column
     gather of [32, N] brings each pixel's whole 2x2 support; the result
     stays channel-major [8, N].  Semantics identical to
-    :func:`bilinear_sample_quad`."""
+    :func:`bilinear_sample_quad`.
+
+    ``lane_offset`` supports FLAT stream batching: when B streams' quad
+    tables are concatenated lane-wise into one [32, B*N] table (stream b's
+    pixels at lanes [b*N, (b+1)*N)), pass ``lane_offset = b*N`` and keep
+    the per-stream coordinates — a vmapped caller then produces ONE flat
+    gather on an UNBATCHED table instead of a batched gather, which XLA
+    lowers ~6x slower per row (BASELINE.md, multistream analysis).
+    """
     h, w = shape
     in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
 
@@ -181,7 +189,10 @@ def bilinear_sample_quad_cm(quad_cm, shape, u, v):
     y0w = 1.0 - y1w
 
     idx = y0.astype(jnp.int32) * w + x0.astype(jnp.int32)
-    cols = gather_columns(quad_cm, jnp.clip(idx, 0, quad_cm.shape[1] - 1))  # [32, N]
+    idx = jnp.clip(idx, 0, h * w - 1)
+    if lane_offset is not None:
+        idx = idx + lane_offset
+    cols = gather_columns(quad_cm, idx)  # [32, N]
     a00, a10, a01, a11 = cols[:8], cols[8:16], cols[16:24], cols[24:32]
 
     values = (a00 * x0w + a10 * x1w) * y0w + (a01 * x0w + a11 * x1w) * y1w

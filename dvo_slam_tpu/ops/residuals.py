@@ -133,6 +133,7 @@ def warp_and_sample_cm(
     shape,  # (H, W) of the level
     intrinsics: Intrinsics,
     T,  # [4, 4]
+    lane_offset=None,  # [] lane offset into a flat [32, B*N] stream-batched table
 ):
     """Channel-major warp + sample: the production gather of the fused
     path.  Reference geometry comes straight from the refpack channels
@@ -154,7 +155,9 @@ def warp_and_sample_cm(
     z_safe = jnp.where(z_t > 1e-12, z_t, 1e-12)
     u = p_x / z_safe * intrinsics.fx + intrinsics.ox
     v = p_y / z_safe * intrinsics.fy + intrinsics.oy
-    sampled, sample_valid = bilinear_sample_quad_cm(quad_cm, shape, u, v)
+    sampled, sample_valid = bilinear_sample_quad_cm(
+        quad_cm, shape, u, v, lane_offset=lane_offset
+    )
     validity = sample_valid & (z_t > 1e-12)
     sampled = sampled.at[6].set(validity.astype(sampled.dtype))
     sampled = sampled.at[7].set(z_t)

@@ -33,20 +33,31 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..config import TrackerConfig
-from ..models.dense_tracker import match_pyramids
+from ..models.dense_tracker import (
+    PreparedFrame,
+    _build_refpack,
+    _resolve_backend,
+    match_prepared,
+    match_pyramids,
+)
 from ..ops.camera import Intrinsics
-from ..ops.pyramid import build_pyramid, convert_raw_depth
+from ..ops.interp import build_quad_table_cm
+from ..ops.pyramid import (
+    build_acceleration_cm,
+    build_pyramid,
+    convert_raw_depth,
+    selection_mask,
+)
 from .mesh import BATCH_AXIS, batch_sharding
 
 
-def _track_streams(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, depth_u16):
-    """[B, T, H, W] u8/u16 -> [B, T-1, 4, 4] absolute poses (pose of frame
-    t+1 in the frame-0 camera, per stream).
-
-    Each stream is the reference's frame-to-frame accumulation loop
-    (camera_dense_tracking.cpp:269-276) with constant-velocity warm
-    starts; `vmap` lifts it to a batch, `lax.scan` walks time on device.
-    """
+def _track_streams_vmapped(
+    cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, depth_u16
+):
+    """Plain-vmap lockstep (any backend): each stream keeps its own quad
+    tables, so the warp gather lowers as a BATCHED gather.  Kept as the
+    oracle/fallback for non-fused backends; the fused production path is
+    :func:`_track_streams_flat`."""
 
     def build(int_u8, dep_u16):
         depth, valid = convert_raw_depth(dep_u16)
@@ -77,6 +88,116 @@ def _track_streams(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, dep
     )
     (_, _, _), poses_t = jax.lax.scan(step, (first, eye, eye), xs)
     return jnp.swapaxes(poses_t, 0, 1)  # [B, T-1, 4, 4]
+
+
+def _track_streams_flat(
+    cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, depth_u16
+):
+    """Flat-table lockstep: B streams advance together, but the current
+    frames' quad tables are CONCATENATED lane-wise into one [32, B*N]
+    table per level, and each vmapped stream gathers through its own lane
+    offset.  The solver loop then contains ONE flat gather on an
+    UNBATCHED operand — the batched-gather lowering that made naive
+    lockstep a net loss on one chip (BASELINE.md multistream table) never
+    appears.  Per-stream elementwise math, carries, and termination are
+    identical to the vmapped form (bit-equal trajectories: the per-stream
+    table segment holds exactly the per-stream table).
+
+    The N-camera generalization of the reference's dual concurrent match
+    (tbb::parallel_invoke, local_tracker.cpp:180-185) — SURVEY.md 2.5 P2.
+    """
+    B = intensity_u8.shape[0]
+    num_levels = cfg.num_levels
+    none = (None,) * num_levels
+    solve_range = range(cfg.last_level, cfg.first_level + 1)
+
+    def build(int_u8, dep_u16):
+        depth, valid = convert_raw_depth(dep_u16)
+        return build_pyramid(
+            int_u8.astype(jnp.float32), depth, valid, num_levels,
+            skip_below=cfg.last_level,
+        )
+
+    def prep_ref(pyr):
+        """Per-stream reference-role artifacts (vmapped)."""
+        sel = [None] * num_levels
+        refpack = [None] * num_levels
+        for level in solve_range:
+            lv = pyr[level]
+            sel[level] = selection_mask(
+                lv,
+                cfg.intensity_derivative_threshold,
+                cfg.depth_derivative_threshold,
+            )
+            refpack[level] = _build_refpack(
+                lv, sel[level], intrinsics.at_level(level)
+            )
+        return tuple(sel), tuple(refpack)
+
+    def prep_cur_flat(pyr_b):
+        """Flat current-role tables from the BATCHED pyramid: per level,
+        one [32, B*N] quad table plus per-stream lane offsets [B].  Border
+        lanes that wrap across stream seams are never gathered (the same
+        bounds test that already excludes right/bottom-border wrap rows,
+        interp.build_quad_table docstring)."""
+        quads = [None] * num_levels
+        offsets = [None] * num_levels
+        for level in solve_range:
+            lv_b = pyr_b[level]
+            accel_b = jax.vmap(build_acceleration_cm)(lv_b)  # [B, 8, N]
+            n = accel_b.shape[-1]
+            flat = jnp.swapaxes(accel_b, 0, 1).reshape(8, B * n)
+            quads[level] = build_quad_table_cm(flat, lv_b.intensity.shape[-1])
+            offsets[level] = jnp.arange(B, dtype=jnp.int32) * n
+        return tuple(quads), tuple(offsets)
+
+    def matcher(sel, refpack, quads, offs, init):
+        ref = PreparedFrame(
+            levels=none, sel=sel, refpack=refpack, accel=none, quad=none
+        )
+        cur = PreparedFrame(
+            levels=none, sel=none, refpack=none, accel=none, quad=quads
+        )
+        return match_prepared(
+            cfg, intrinsics, ref, cur, init, quad_offset=offs
+        )
+
+    def step(carry, frames_t):
+        (prev_sel, prev_refpack), pose, rel_prev = carry
+        cur_pyr_b = jax.vmap(build)(frames_t[0], frames_t[1])
+        sel_b, refpack_b = jax.vmap(prep_ref)(cur_pyr_b)
+        quads, offs = prep_cur_flat(cur_pyr_b)
+        r = jax.vmap(matcher, in_axes=(0, 0, None, 0, 0))(
+            prev_sel, prev_refpack, quads, offs, rel_prev
+        )
+        pose = pose @ r.transformation
+        return ((sel_b, refpack_b), pose, r.transformation), pose
+
+    first_pyr = jax.vmap(build)(intensity_u8[:, 0], depth_u16[:, 0])
+    first_ref = jax.vmap(prep_ref)(first_pyr)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+
+    xs = (
+        jnp.swapaxes(intensity_u8[:, 1:], 0, 1),
+        jnp.swapaxes(depth_u16[:, 1:], 0, 1),
+    )
+    _, poses_t = jax.lax.scan(step, (first_ref, eye, eye), xs)
+    return jnp.swapaxes(poses_t, 0, 1)  # [B, T-1, 4, 4]
+
+
+def _track_streams(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, depth_u16):
+    """[B, T, H, W] u8/u16 -> [B, T-1, 4, 4] absolute poses (pose of frame
+    t+1 in the frame-0 camera, per stream).
+
+    Each stream is the reference's frame-to-frame accumulation loop
+    (camera_dense_tracking.cpp:269-276) with constant-velocity warm
+    starts; `vmap` lifts it to a batch, `lax.scan` walks time on device.
+    The fused backends route through the flat-table form (shared quad
+    table + lane offsets); other backends use the per-stream vmap.
+    """
+    if _resolve_backend(cfg) in ("fused", "pallas"):
+        return _track_streams_flat(cfg, intrinsics, intensity_u8, depth_u16)
+    return _track_streams_vmapped(cfg, intrinsics, intensity_u8, depth_u16)
 
 
 def _track_one_stream(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, depth_u16):

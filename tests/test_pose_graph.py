@@ -362,3 +362,58 @@ def test_schur_large_graph_matches_sparse_direct():
         _pose_err(g_sc.vertex_pose(i), g_sp.vertex_pose(i)) for i in range(0, n, 41)
     ]
     assert max(errs) < 1e-4, max(errs)
+
+
+def _lm_stress_graph():
+    """The LM stress problem: a 40-pose chain with SOFT rotational odometry
+    (rotation information 1e-4), badly perturbed initialization, and two
+    grossly wrong but very confident (information 1e4, weight-1,
+    non-robustified) loop closures pulling in opposite directions.
+
+    Fixed-damping Gauss-Newton explodes along the soft rotation modes on
+    this problem (chi2 -> NaN); adaptive LM (the reference's g2o
+    Levenberg/Dogleg behavior, local_map.cpp:57-90,
+    keyframe_graph.cpp:138-142) backtracks and converges.
+    """
+    rng = np.random.default_rng(1)
+    n = 40
+    true = [np.eye(4)]
+    step = _exp([0.5, 0, 0, 0, 0, 0.0])
+    for _ in range(n - 1):
+        true.append(true[-1] @ step)
+    g = pg.PoseGraph(vertex_capacity=64, edge_capacity=64, dtype=np.float64)
+    g.add_vertex(0, true[0], fixed=True)
+    for i in range(1, n):
+        g.add_vertex(i, true[i] @ _exp(rng.normal(0, 0.8, 6)))
+    info = np.diag([1.0, 1.0, 1.0, 1e-4, 1e-4, 1e-4])
+    for i in range(n - 1):
+        g.add_edge(i, i + 1, _rel(true[i], true[i + 1]), info)
+    g.add_edge(2, 37, _exp([3.0, -2.0, 1.5, 1.2, -0.9, 1.4]), np.eye(6) * 1e4)
+    g.add_edge(5, 35, _exp([-2.5, 1.8, -1.2, -1.0, 1.1, -0.8]), np.eye(6) * 1e4)
+    return g
+
+
+def test_lm_converges_where_gn_diverges():
+    """Adaptive LM damping (algorithm="lm", the default) must converge on
+    the stress problem that makes fixed-damping GN diverge to NaN."""
+    g_gn = _lm_stress_graph()
+    hist_gn = g_gn.optimize(60, solver="dense", algorithm="gn")
+    # fixed-damping GN blows up (the round-2 behavior this test pins down)
+    assert not np.isfinite(hist_gn[-1]) or hist_gn[-1] > hist_gn[0]
+
+    g_lm = _lm_stress_graph()
+    hist_lm = g_lm.optimize(60, solver="dense", algorithm="lm")
+    assert np.isfinite(hist_lm).all()
+    assert hist_lm[-1] < 1e-1
+    # LM's accept/reject makes the history monotone non-increasing
+    assert (np.diff(hist_lm) <= 1e-9 * np.maximum(hist_lm[:-1], 1.0)).all()
+
+
+@pytest.mark.parametrize("solver", ["cg", "sparse", "schur"])
+def test_lm_stress_all_solver_paths(solver):
+    """Every solver path (block-CG, host sparse-direct, Schur chains)
+    converges on the LM stress problem under adaptive damping."""
+    g = _lm_stress_graph()
+    hist = g.optimize(60, solver=solver, algorithm="lm")
+    assert np.isfinite(hist).all()
+    assert hist[-1] < 1.0, hist[-5:]

@@ -101,6 +101,7 @@ def _run_slam(poses, fps=30.0, cfg=SLAM_CFG, finish=True):
     return kt, np.asarray(est)
 
 
+@pytest.mark.slow
 def test_slam_smoke_tiny():
     """Fast-tier end-to-end SLAM loop at tiny resolution: keyframes,
     loop closure search, final optimization, trajectory export — the

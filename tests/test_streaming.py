@@ -100,6 +100,7 @@ def test_streaming_matches_keyframe_tracker():
     assert ate_online < 0.01, ate_online
 
 
+@pytest.mark.slow
 def test_streaming_smoke_tiny():
     """Fast-tier: tiny-resolution streaming SLAM end to end."""
     k_tiny = Intrinsics(40.0, 40.0, 19.5, 14.5)

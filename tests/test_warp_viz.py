@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from dvo_slam_tpu.ops import se3, warp
 from dvo_slam_tpu.ops.camera import Intrinsics
@@ -128,6 +129,7 @@ def test_forward_intensity_warp_roundtrip():
     assert np.percentile(err, 25) < 3.0
 
 
+@pytest.mark.slow
 def test_edge_error_image_export(tmp_path):
     """export_edge_error_images writes per-edge drill-down heatmaps for
     the worst loop closures (GraphVisualizer context-menu parity)."""
@@ -170,6 +172,7 @@ def test_edge_error_image_export(tmp_path):
         assert len(kt.graph.keyframes) >= 1
 
 
+@pytest.mark.slow
 def test_interactive_graph_export(tmp_path):
     """export_interactive_graph writes one self-contained HTML file whose
     embedded JSON payload carries the full graph (keyframes, edges with
