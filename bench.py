@@ -170,6 +170,30 @@ def main():
     stamps = np.arange(num_frames) / 30.0
     ate = trajectory.ate_rmse(stamps, est, stamps, poses)
 
+    # HARD-scene accuracy gate: the occluded scene (>1 m depth
+    # discontinuity cutting the image) under fr1-like motion (30 cm loop
+    # diameter, 0.12 rad rotation) — the gate that actually exercises the
+    # occlusion rejection + depth-buffered sampling.  Same shapes as the
+    # easy sequence, so the compiled tracker is reused.
+    hard_poses = synthetic.circular_trajectory(
+        num_frames, radius=0.15, rot_amplitude=0.12, z_amplitude=0.05
+    )
+    hard_scene = synthetic.occluded_scene()
+    hard_i = np.zeros((num_frames,) + shape, np.uint8)
+    hard_d = np.zeros((num_frames,) + shape, np.uint16)
+    for i in range(num_frames):
+        intensity, depth, valid = synthetic.render_frame(
+            hard_poses[i], TUM_FR1, shape, scene=hard_scene, seed=1000 + i,
+            depth_noise=0.002, intensity_noise=1.0,
+        )
+        hard_i[i] = np.clip(intensity, 0, 255).astype(np.uint8)
+        hard_d[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
+    d_hi, d_hd = jnp.asarray(hard_i), jnp.asarray(hard_d)
+    np.asarray(d_hi[0, 0, 0])
+    hard_out = np.asarray(track_sequence(d_hi, d_hd), np.float64)
+    hard_est = np.concatenate([np.eye(4)[None], hard_out])
+    hard_ate = trajectory.ate_rmse(stamps, hard_est, stamps, hard_poses)
+
     # full keyframe-SLAM front end (dual match + policy + keyframe switch
     # as one scanned program, models/streaming.py) on the same sequence
     from dvo_slam_tpu.config import benchmark_config as _bc
@@ -189,14 +213,60 @@ def main():
     slam_est = rec[:, -16:].reshape(num_frames, 4, 4).astype(np.float64)
     slam_ate = trajectory.ate_rmse(stamps, slam_est, stamps, poses)
 
+    # END-TO-END SLAM: front end + replayed back end (local-map optimize,
+    # loop-closure search/validation waves, incremental + final
+    # optimization) on a 200-frame loop-closing HARD-scene sequence — the
+    # reference's de-facto whole-pipeline contract
+    # (benchmark_slam.cpp:448-546), with its back-end phase taxonomy
+    # (keyframe_graph.cpp:438-443) from the graph's PhaseTimers.
+    e2e_frames = 200
+    e2e_poses = synthetic.circular_trajectory(
+        e2e_frames, radius=0.15, rot_amplitude=0.12, z_amplitude=0.05
+    )
+    e2e_i = np.zeros((e2e_frames,) + shape, np.uint8)
+    e2e_d = np.zeros((e2e_frames,) + shape, np.uint16)
+    for i in range(e2e_frames):
+        intensity, depth, valid = synthetic.render_frame(
+            e2e_poses[i], TUM_FR1, shape, scene=hard_scene, seed=2000 + i,
+            depth_noise=0.002, intensity_noise=1.0,
+        )
+        e2e_i[i] = np.clip(intensity, 0, 255).astype(np.uint8)
+        e2e_d[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
+    e2e_stamps = np.arange(e2e_frames) / 30.0
+    # warm run: compiles the 200-frame scan + validation-wave buckets;
+    # then reset state (keeping executables) and time for real on a
+    # PERTURBED input copy (the relay memoizes repeat executions of
+    # identical (executable, inputs) — see the protocol notes above)
+    slam_e2e = StreamingSLAM(TUM_FR1, _bc())
+    slam_e2e.track_sequence(e2e_i, e2e_d, e2e_stamps)
+    slam_e2e.reset()
+    e2e_i2 = e2e_i.copy()
+    e2e_i2[:, 0, :] += 1
+    t0 = time.perf_counter()
+    slam_e2e.track_sequence(e2e_i2, e2e_d, e2e_stamps)
+    e2e_elapsed = time.perf_counter() - t0
+    e2e_fps = e2e_frames / e2e_elapsed
+    e2e_stamps_out, e2e_traj = slam_e2e.graph.trajectory()
+    e2e_ate = trajectory.ate_rmse(
+        e2e_stamps_out, e2e_traj, e2e_stamps, e2e_poses
+    )
+    phases = {
+        name: round(s["total_s"] * 1000.0 / e2e_frames, 3)
+        for name, s in slam_e2e.graph.timers.summary().items()
+    }
+
     result = {
         "metric": "tracked_frames_per_second_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 2),
         "ate_rmse_m": round(float(ate), 5),
+        "ate_rmse_hard_m": round(float(hard_ate), 5),
         "slam_frontend_fps": round(slam_fps, 2),
         "slam_ate_rmse_m": round(float(slam_ate), 5),
+        "slam_e2e_fps": round(e2e_fps, 2),
+        "slam_e2e_ate_rmse_m": round(float(e2e_ate), 5),
+        "backend_phase_ms_per_frame": phases,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

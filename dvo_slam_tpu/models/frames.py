@@ -30,6 +30,19 @@ from .dense_tracker import (
 )
 
 
+@functools.lru_cache(maxsize=8)
+def _pyramid_builder(num_levels: int):
+    """One compiled pyramid-build executable per level count (XLA caches
+    per input shape).  Eager per-op dispatch costs ~30 ms of relay latency
+    PER OP in this sandbox (BASELINE.md measurement notes); one jitted
+    call is one round trip."""
+    return jax.jit(
+        lambda intensity, depth, valid: build_pyramid(
+            intensity, depth, valid, num_levels
+        )
+    )
+
+
 @dataclass
 class Frame:
     """A device-resident RGB-D frame pyramid with host metadata."""
@@ -40,11 +53,10 @@ class Frame:
     @staticmethod
     def from_arrays(intensity, depth, valid, timestamp: float, num_levels: int) -> "Frame":
         return Frame(
-            levels=build_pyramid(
+            levels=_pyramid_builder(num_levels)(
                 jnp.asarray(intensity, jnp.float32),
                 jnp.asarray(depth, jnp.float32),
                 jnp.asarray(valid),
-                num_levels,
             ),
             timestamp=timestamp,
         )

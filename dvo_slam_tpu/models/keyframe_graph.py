@@ -32,6 +32,7 @@ import numpy as np
 
 from ..config import GraphConfig, TrackerConfig
 from ..ops.camera import Intrinsics
+from ..utils.timers import PhaseTimers
 from .constraints import ConstraintProposal, ConstraintProposalValidator
 from .frames import Keyframe
 from .local_map import LocalMap
@@ -49,11 +50,14 @@ class KeyframeGraph:
         cfg: Optional[GraphConfig] = None,
         tracker_cfg: Optional[TrackerConfig] = None,
         use_threading: bool = False,
+        validator: Optional[ConstraintProposalValidator] = None,
     ):
         self.cfg = cfg or GraphConfig()
         self.tracker_cfg = tracker_cfg or TrackerConfig()
         self.intrinsics = intrinsics
-        self.validator = ConstraintProposalValidator(
+        # an injected validator lets a fresh graph reuse the previous
+        # one's compiled alignment buckets (warm-restart benchmarking)
+        self.validator = validator or ConstraintProposalValidator(
             intrinsics, self.cfg, self.tracker_cfg
         )
         self.keyframes: List[Keyframe] = []
@@ -65,6 +69,10 @@ class KeyframeGraph:
         self._pending_edge: Optional[int] = None  # its keyframe edge index
         self._pending_meas: Optional[np.ndarray] = None
         self._existing_constraints = set()  # frozenset({id_a, id_b})
+        # the reference's back-end phase stopwatches
+        # (keyframe_graph.cpp:438-443: constraint_search / validation /
+        # insert / optimization + the final pass)
+        self.timers = PhaseTimers()
 
         self._queue: "queue.Queue[LocalMap]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -223,22 +231,32 @@ class KeyframeGraph:
     def _new_keyframe(self, m: LocalMap):
         """Process one completed local map
         (reference: newKeyframe, keyframe_graph.cpp:434-498)."""
-        keyframe = self._insert_new_keyframe(m)
+        with self.timers.timing("constraint_insert"):
+            keyframe = self._insert_new_keyframe(m)
         if len(self.keyframes) == 1:
             return
 
-        candidates = self._find_candidates(keyframe)
-        proposals = self.validator.validate(self._make_proposals(keyframe, candidates))
-        max_distance = self._insert_constraints(proposals)
+        with self.timers.timing("constraint_search"):
+            candidates = self._find_candidates(keyframe)
+            proposals = self._make_proposals(keyframe, candidates)
+        with self.timers.timing("constraint_validation"):
+            proposals = self.validator.validate(proposals)
+        with self.timers.timing("constraint_insert"):
+            max_distance = self._insert_constraints(proposals)
 
         if max_distance >= self.cfg.min_constraint_distance:
-            self.graph.optimize(self.cfg.optimization_iterations // 2, max_level=0)
-            if self.cfg.optimization_remove_outliers:
-                self.graph.remove_outlier_edges(
-                    self.cfg.optimization_outlier_weight_threshold
+            with self.timers.timing("constraint_optimization"):
+                self.graph.optimize(
+                    self.cfg.optimization_iterations // 2, max_level=0
                 )
-            self.graph.optimize(self.cfg.optimization_iterations // 2, max_level=0)
-            self._update_keyframe_poses()
+                if self.cfg.optimization_remove_outliers:
+                    self.graph.remove_outlier_edges(
+                        self.cfg.optimization_outlier_weight_threshold
+                    )
+                self.graph.optimize(
+                    self.cfg.optimization_iterations // 2, max_level=0
+                )
+                self._update_keyframe_poses()
 
         self._fire_map_changed()
 
@@ -250,17 +268,19 @@ class KeyframeGraph:
         self.wait_for_queue()
 
         for keyframe in self.keyframes:
-            candidates = []
-            for c in self._find_candidates(keyframe):
-                if abs(c.id - keyframe.id) <= 1:
-                    continue
-                if frozenset({c.id, keyframe.id}) in self._existing_constraints:
-                    continue
-                candidates.append(c)
-            proposals = self.validator.validate(
-                self._make_proposals(keyframe, candidates)
-            )
-            self._insert_constraints(proposals)
+            with self.timers.timing("constraint_search"):
+                candidates = []
+                for c in self._find_candidates(keyframe):
+                    if abs(c.id - keyframe.id) <= 1:
+                        continue
+                    if frozenset({c.id, keyframe.id}) in self._existing_constraints:
+                        continue
+                    candidates.append(c)
+                proposals = self._make_proposals(keyframe, candidates)
+            with self.timers.timing("constraint_validation"):
+                proposals = self.validator.validate(proposals)
+            with self.timers.timing("constraint_insert"):
+                self._insert_constraints(proposals)
 
         max_level = 0
         if self.cfg.final_optimization_use_dense_graph:
@@ -268,18 +288,19 @@ class KeyframeGraph:
 
         # The reference always runs the full 10-round schedule
         # (keyframe_graph.cpp:266-281); early exit is opt-in.
-        for _ in range(10):
-            self.graph.optimize(
-                max(self.cfg.final_optimization_iterations // 10, 1),
-                max_level=max_level,
-            )
-            removed = 0
-            if self.cfg.final_optimization_remove_outliers:
-                removed = self.graph.remove_outlier_edges(
-                    self.cfg.final_optimization_outlier_weight_threshold
+        with self.timers.timing("final_optimization"):
+            for _ in range(10):
+                self.graph.optimize(
+                    max(self.cfg.final_optimization_iterations // 10, 1),
+                    max_level=max_level,
                 )
-            if self.cfg.final_optimization_early_exit and removed == 0:
-                break
+                removed = 0
+                if self.cfg.final_optimization_remove_outliers:
+                    removed = self.graph.remove_outlier_edges(
+                        self.cfg.final_optimization_outlier_weight_threshold
+                    )
+                if self.cfg.final_optimization_early_exit and removed == 0:
+                    break
 
         self._update_keyframe_poses()
         self._fire_map_changed()

@@ -333,6 +333,17 @@ class StreamingSLAM:
         self.graph = KeyframeGraph(intrinsics, self.cfg.graph, self.cfg.tracker)
         self.records: List[FrameRecord] = []
 
+    def reset(self):
+        """Fresh SLAM state with WARM executables: replaces the keyframe
+        graph but keeps the compiled front end and the validator's
+        compiled alignment buckets (a deployed tracker restarting on a new
+        sequence pays no recompilation)."""
+        self.graph = KeyframeGraph(
+            self.intrinsics, self.cfg.graph, self.cfg.tracker,
+            validator=self.graph.validator,
+        )
+        self.records = []
+
     def track_frontend(self, intensity_u8, depth_u16, initial=None, force_last=True):
         """Run only the device front end; returns (records, poses [T,4,4]).
 

@@ -193,7 +193,9 @@ def _track_streams(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, dep
     (camera_dense_tracking.cpp:269-276) with constant-velocity warm
     starts; `vmap` lifts it to a batch, `lax.scan` walks time on device.
     The fused backends route through the flat-table form (shared quad
-    table + lane offsets); other backends use the per-stream vmap.
+    table + lane offsets); other backends use the per-stream vmap.  Under
+    a mesh this runs INSIDE shard_map on the local batch (see
+    make_multistream_tracker), so the flat table never spans shards.
     """
     if _resolve_backend(cfg) in ("fused", "pallas"):
         return _track_streams_flat(cfg, intrinsics, intensity_u8, depth_u16)
@@ -261,15 +263,32 @@ def make_multistream_tracker(
     _track_streams_sequential).
     """
     if schedule == "sequential":
-        fn = jax.jit(functools.partial(_track_streams_sequential, cfg, intrinsics))
+        inner = functools.partial(_track_streams_sequential, cfg, intrinsics)
     elif schedule == "lockstep":
-        fn = jax.jit(functools.partial(_track_streams, cfg, intrinsics))
+        inner = functools.partial(_track_streams, cfg, intrinsics)
     else:
         raise ValueError(f"unknown schedule {schedule!r}")
 
     if mesh is None:
-        return fn
+        return jax.jit(inner)
 
+    # DP over the mesh via shard_map: each device traces the LOCAL-batch
+    # program (streams are independent — no collectives), so a device with
+    # local batch 1 runs the literal single-stream tracker program and the
+    # batched-gather lowering question never arises across shards.  The
+    # flat-table form still applies WITHIN a device's local batch.
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.jit(
+        shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+    )
     shard = batch_sharding(mesh, axis)
 
     def run(intensity_u8, depth_u16):
@@ -277,4 +296,5 @@ def make_multistream_tracker(
         depth_u16 = jax.device_put(depth_u16, shard)
         return fn(intensity_u8, depth_u16)
 
+    run.jitted = fn  # for lowering/HLO inspection (tests, tooling)
     return run

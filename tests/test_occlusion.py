@@ -217,3 +217,52 @@ def test_tracking_ate_on_occluded_scene():
     stamps = np.arange(len(poses)) / 30.0
     ate = trajectory.ate_rmse(stamps, np.asarray(est), stamps, poses)
     assert ate < 0.01, f"occluded-scene ATE {ate}"
+
+
+@pytest.mark.slow
+def test_slam_ate_on_occluded_scene():
+    """Full streaming SLAM (front end + replayed back end + final
+    optimization) on the occlusion-rich scene with fr1-like motion
+    magnitudes (30 cm loop diameter, 0.12 rad rotation) — the cm-scale-
+    difficulty gate that catches occlusion/robust-weighting regressions
+    the easy two-plane scene cannot (bench.py runs the same sequence at
+    640x480 on the TPU)."""
+    from dvo_slam_tpu.config import (
+        GraphConfig, KeyframeConfig, SlamConfig, TrackerConfig,
+    )
+    from dvo_slam_tpu.models.streaming import StreamingSLAM
+
+    scene = synthetic.occluded_scene()
+    cfg = SlamConfig(
+        tracker=TrackerConfig(
+            first_level=2, last_level=0, max_iterations_per_level=30,
+            precision=1e-4, use_initial_estimate=True,
+        ),
+        keyframe=KeyframeConfig(max_translational_distance=0.08),
+    )
+    num_frames = 40
+    poses = synthetic.circular_trajectory(
+        num_frames, radius=0.15, rot_amplitude=0.12, z_amplitude=0.05
+    )
+    iu8 = np.zeros((num_frames,) + SHAPE, np.uint8)
+    du16 = np.zeros((num_frames,) + SHAPE, np.uint16)
+    for i in range(num_frames):
+        intensity, depth, valid = synthetic.render_frame(
+            poses[i], K, SHAPE, scene=scene, seed=100 + i,
+            depth_noise=0.002, intensity_noise=1.0,
+        )
+        iu8[i] = np.clip(intensity, 0, 255).astype(np.uint8)
+        du16[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
+    stamps = np.arange(num_frames) / 30.0
+
+    slam = StreamingSLAM(K, cfg)
+    online = slam.track_sequence(iu8, du16, stamps)
+    assert np.isfinite(online).all()
+    g_stamps, traj = slam.graph.trajectory()
+    assert len(traj) >= 2
+    ate = trajectory.ate_rmse(g_stamps, traj, stamps, poses)
+    # fr1-like motion on a 60x80 render: gate at cm scale
+    assert ate < 0.02, f"occluded-scene SLAM ATE {ate}"
+    # the back-end phase timers must have recorded the pipeline
+    summary = slam.graph.timers.summary()
+    assert "constraint_insert" in summary

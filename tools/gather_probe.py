@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--width", type=int, default=320)
+    ap.add_argument(
+        "--variant", default="all",
+        choices=["all", "single", "flat", "sharedT", "batched"],
+        help="run one variant per process (tunnel compiles are slow)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -51,16 +56,26 @@ def main():
 
     sync = lambda out: np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
 
-    def measure(run, *arrays):
+    def _timed(run, *arrays):
         sync(run(*arrays))
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
             sync(run(*arrays))
             best = min(best, time.perf_counter() - t0)
-        return best / K_ITERS
+        return best
 
-    def scanned(fn):
+    def measure(fn, *arrays):
+        """Per-iteration time by SLOPE between two scan lengths — the
+        relay adds a ~30 ms fixed cost per dispatched execution, which at
+        a single scan length would swamp sub-ms iteration costs."""
+        k_short = K_ITERS
+        k_long = K_ITERS * 9
+        t_short = _timed(scanned(fn, k_short), *arrays)
+        t_long = _timed(scanned(fn, k_long), *arrays)
+        return (t_long - t_short) / (k_long - k_short)
+
+    def scanned(fn, k):
         @jax.jit
         def run(*arrays):
             def step(carry, i):
@@ -68,7 +83,7 @@ def main():
                 return carry + jnp.sum(out.astype(jnp.float32)) * 1e-30, None
 
             total, _ = jax.lax.scan(
-                step, jnp.zeros((), jnp.float32), jnp.arange(K_ITERS)
+                step, jnp.zeros((), jnp.float32), jnp.arange(k)
             )
             return total
 
@@ -90,13 +105,16 @@ def main():
     def shift(i, u):
         return u + (i % 4).astype(jnp.float32) * 0.25
 
+    want = lambda name: args.variant in ("all", name)
+
     # single-stream gather (baseline)
     def single(i, table, u, v):
         out, _ = bilinear_sample_quad_cm(table, (H, W), shift(i, u), v)
         return out
 
-    t = measure(scanned(single), table_b[0], u_b[0], v_b[0])
-    print(f"single   (1 stream,  {N} rows): {t*1e3:7.3f} ms/iter")
+    if want("single"):
+        t = measure(single, table_b[0], u_b[0], v_b[0])
+        print(f"single   (1 stream,  {N} rows): {t*1e3:7.3f} ms/iter", flush=True)
 
     # raw flat gather (no vmap anywhere)
     def flat(i, table, u, v):
@@ -107,8 +125,9 @@ def main():
         idx = idx + jnp.repeat(offs, N, total_repeat_length=B * N)
         return gather_columns(table, idx)
 
-    t = measure(scanned(flat), table_flat, u_b.reshape(-1), v_b.reshape(-1))
-    print(f"flat     ({B} streams, {B*N} rows): {t*1e3:7.3f} ms/iter")
+    if want("flat"):
+        t = measure(flat, table_flat, u_b.reshape(-1), v_b.reshape(-1))
+        print(f"flat     ({B} streams, {B*N} rows): {t*1e3:7.3f} ms/iter", flush=True)
 
     # vmapped sampling on the shared flat table (the production lockstep form)
     def shared(i, table, u, v):
@@ -120,8 +139,9 @@ def main():
         )(u, v, offs)
         return out
 
-    t = measure(scanned(shared), table_flat, u_b, v_b)
-    print(f"sharedT  ({B} streams, vmap+offsets): {t*1e3:7.3f} ms/iter")
+    if want("sharedT"):
+        t = measure(shared, table_flat, u_b, v_b)
+        print(f"sharedT  ({B} streams, vmap+offsets): {t*1e3:7.3f} ms/iter", flush=True)
 
     # vmapped with per-stream tables (round-2 form)
     def batched(i, table, u, v):
@@ -133,8 +153,9 @@ def main():
         )(table, u, v)
         return out
 
-    t = measure(scanned(batched), table_b, u_b, v_b)
-    print(f"batched  ({B} streams, per-stream tables): {t*1e3:7.3f} ms/iter")
+    if want("batched"):
+        t = measure(batched, table_b, u_b, v_b)
+        print(f"batched  ({B} streams, per-stream tables): {t*1e3:7.3f} ms/iter", flush=True)
 
 
 if __name__ == "__main__":
