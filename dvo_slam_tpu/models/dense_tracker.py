@@ -246,6 +246,7 @@ def _match_level(
     refpack=None,
     quad=None,
     quad_offset=None,
+    stream_index=None,
 ):
     """Run the IRLS Gauss-Newton iteration on one pyramid level.
 
@@ -254,8 +255,10 @@ def _match_level(
     ``ref_level`` may be None when ``refpack`` is given (the fused path
     needs only the level SHAPE, taken from ``sel_mask``) — this keeps
     scanned front-end carries free of unused full-resolution tensors.
-    ``quad_offset`` is the flat stream-batching lane offset into a shared
-    [32, B*N] quad table (see interp.bilinear_sample_quad_cm).
+    Stream batching: ``quad`` may be a TUPLE of per-stream standalone
+    tables selected by ``stream_index`` (the lockstep engine's form — see
+    interp.gather_columns_multi), or a flat shared [32, B*N] table indexed
+    at ``quad_offset`` (only for small tables).
     """
     backend = _resolve_backend(cfg)
     dof = cfg.influence_function_param
@@ -310,7 +313,8 @@ def _match_level(
         on TPU, XLA twin elsewhere), which emits the Gram partials AND the
         log1p sum — per-pixel residuals/weights never round-trip HBM."""
         sampled = warp_and_sample_cm(
-            refpack, quad, level_shape, intrinsics, T, lane_offset=quad_offset
+            refpack, quad, level_shape, intrinsics, T,
+            lane_offset=quad_offset, stream_index=stream_index,
         )
         p3 = jnp.stack([P_prev[0, 0], P_prev[0, 1], P_prev[1, 1]])
         fn = (
@@ -546,6 +550,7 @@ def match_prepared(
     initial_transformation=None,
     collect_iteration_stats: bool = False,
     quad_offset=None,
+    stream_index=None,
 ) -> TrackingResult:
     """Align two PREPARED frames — the cached-artifact core of
     :func:`match_pyramids` (which prepares on the fly).  Use this with
@@ -553,9 +558,11 @@ def match_prepared(
     per-frame acceleration/quad-table builds across match calls, as the
     reference does (point_selection.cpp:89-117, local_tracker.cpp:162-169).
 
-    ``quad_offset`` (per-level tuple of scalars) selects this stream's
-    lane segment of FLAT stream-batched quad tables in ``cur.quad`` — see
-    interp.bilinear_sample_quad_cm; None for per-stream tables.
+    Stream batching: when ``cur.quad`` holds per-level TUPLES of
+    per-stream standalone tables, ``stream_index`` selects this stream's
+    table (the lockstep engine — interp.gather_columns_multi);
+    ``quad_offset`` (per-level tuple of scalars) instead selects a lane
+    segment of flat shared tables (small-table form).
     """
     first = ref.levels[cfg.first_level]
     dtype = (
@@ -592,6 +599,7 @@ def match_prepared(
             refpack=ref.refpack[level],
             quad=cur.quad[level],
             quad_offset=None if quad_offset is None else quad_offset[level],
+            stream_index=stream_index,
         )
         level_stats.append(stats)
         if collect_iteration_stats:

@@ -45,11 +45,59 @@ def _gather_columns_vmap(axis_size, in_batched, table, idx):
             out = jax.lax.map(lambda ti: ti[0][:, ti[1]], (table, idx))
         return out, True
     if idx_b:  # shared table, batched indices
-        c = table.shape[0]
-        out = table[:, idx.reshape(-1)].reshape(c, axis_size, idx.shape[1])
-        return jnp.swapaxes(out, 0, 1), True
+        # one UNBATCHED gather per batch element on the shared table: the
+        # flattened single-gather form ([B*M] indices + batch-unflatten
+        # transpose) lowers ~6x slower (v5e, B=2 at the L1 shape: 1.64 ms
+        # vs 0.27 ms/iter — tools/gather_probe.py dualidx vs dualbar)
+        out = jnp.stack([table[:, idx[b]] for b in range(axis_size)])
+        return out, True
     # batched table, shared indices
     return table[:, :, idx], True
+
+
+@jax.custom_batching.custom_vmap
+def gather_columns_multi(tables, stream, idx):
+    """Gather columns from ONE of several STANDALONE tables.
+
+    ``tables`` is a tuple of B separate [C, N] arrays — deliberately never
+    stacked into a [B, C, N] operand: the TPU gather rate collapses
+    superlinearly with table footprint (measured on v5e: 0.127 ms at
+    76800 lanes -> 34 ms at 8x76800; tools/gather_probe.py), and slices of
+    a stacked array inherit the stacked buffer's layout, so only gathers on
+    standalone buffers run at the single-stream rate (~0.2 ms/stream at
+    B=8 vs 0.7 batched / 4.3 flat).
+
+    Unbatched semantics: ``tables[stream][:, idx]`` (a ``lax.switch``).
+
+    CONTRACT for the vmapped form (the lockstep multistream engine): the
+    vmapped axis must iterate the tables in tuple order — ``stream`` MUST
+    be ``jnp.arange(len(tables))`` along the batch axis.  The batching rule
+    unrolls one standalone gather per table and cannot inspect the traced
+    ``stream`` values to verify this.
+    """
+    branches = [lambda i, t=t: t[:, i] for t in tables]
+    return jax.lax.switch(stream, branches, idx)
+
+
+@gather_columns_multi.def_vmap
+def _gather_columns_multi_vmap(axis_size, in_batched, tables, stream, idx):
+    tables_b, stream_b, idx_b = in_batched
+    if any(jax.tree.leaves(tables_b)):
+        raise NotImplementedError(
+            "gather_columns_multi: tables must stay unbatched standalone "
+            "arrays (that is the whole point — see docstring)"
+        )
+    if not (stream_b and idx_b):
+        raise NotImplementedError(
+            "gather_columns_multi: stream and idx must be batched together"
+        )
+    if axis_size != len(tables):
+        raise ValueError(
+            f"gather_columns_multi: vmap axis size {axis_size} != "
+            f"{len(tables)} tables (the batch axis must run the tuple)"
+        )
+    out = jnp.stack([tables[b][:, idx[b]] for b in range(axis_size)])
+    return out, True
 
 
 def bilinear_sample_accel(accel, u, v):
@@ -163,18 +211,19 @@ def build_quad_table_cm(accel_cm, width: int):
     return jnp.concatenate([accel_cm, right, down, down_right], axis=0)
 
 
-def bilinear_sample_quad_cm(quad_cm, shape, u, v, lane_offset=None):
+def bilinear_sample_quad_cm(quad_cm, shape, u, v, lane_offset=None, stream_index=None):
     """Bilinear sampling through the channel-major quad table: ONE column
     gather of [32, N] brings each pixel's whole 2x2 support; the result
     stays channel-major [8, N].  Semantics identical to
     :func:`bilinear_sample_quad`.
 
-    ``lane_offset`` supports FLAT stream batching: when B streams' quad
-    tables are concatenated lane-wise into one [32, B*N] table (stream b's
-    pixels at lanes [b*N, (b+1)*N)), pass ``lane_offset = b*N`` and keep
-    the per-stream coordinates — a vmapped caller then produces ONE flat
-    gather on an UNBATCHED table instead of a batched gather, which XLA
-    lowers ~6x slower per row (BASELINE.md, multistream analysis).
+    ``quad_cm`` is either one [32, N] table, or — for lockstep stream
+    batching — a TUPLE of per-stream standalone tables selected by
+    ``stream_index`` (see :func:`gather_columns_multi` for why the tables
+    must never be stacked).  ``lane_offset`` supports the alternative FLAT
+    form: a [32, B*N] lane-concatenated table indexed at
+    ``lane_offset = b*N`` (only viable for SMALL total tables — the gather
+    rate collapses superlinearly with table footprint, gather_probe.py).
     """
     h, w = shape
     in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
@@ -190,9 +239,14 @@ def bilinear_sample_quad_cm(quad_cm, shape, u, v, lane_offset=None):
 
     idx = y0.astype(jnp.int32) * w + x0.astype(jnp.int32)
     idx = jnp.clip(idx, 0, h * w - 1)
-    if lane_offset is not None:
-        idx = idx + lane_offset
-    cols = gather_columns(quad_cm, idx)  # [32, N]
+    if isinstance(quad_cm, (tuple, list)):
+        if stream_index is None:
+            raise ValueError("tuple quad table requires stream_index")
+        cols = gather_columns_multi(tuple(quad_cm), stream_index, idx)
+    else:
+        if lane_offset is not None:
+            idx = idx + lane_offset
+        cols = gather_columns(quad_cm, idx)  # [32, N]
     a00, a10, a01, a11 = cols[:8], cols[8:16], cols[16:24], cols[24:32]
 
     values = (a00 * x0w + a10 * x1w) * y0w + (a01 * x0w + a11 * x1w) * y1w

@@ -129,11 +129,12 @@ def warp_and_sample(
 
 def warp_and_sample_cm(
     refpack_cm,  # [8, N] channel-major (i, z, idx, idy, x, y, sel, 0)
-    quad_cm,  # [32, N] channel-major quad table of the current frame
+    quad_cm,  # [32, N] quad table — or a TUPLE of per-stream tables
     shape,  # (H, W) of the level
     intrinsics: Intrinsics,
     T,  # [4, 4]
     lane_offset=None,  # [] lane offset into a flat [32, B*N] stream-batched table
+    stream_index=None,  # [] table selector when quad_cm is a tuple
 ):
     """Channel-major warp + sample: the production gather of the fused
     path.  Reference geometry comes straight from the refpack channels
@@ -156,7 +157,7 @@ def warp_and_sample_cm(
     u = p_x / z_safe * intrinsics.fx + intrinsics.ox
     v = p_y / z_safe * intrinsics.fy + intrinsics.oy
     sampled, sample_valid = bilinear_sample_quad_cm(
-        quad_cm, shape, u, v, lane_offset=lane_offset
+        quad_cm, shape, u, v, lane_offset=lane_offset, stream_index=stream_index
     )
     validity = sample_valid & (z_t > 1e-12)
     sampled = sampled.at[6].set(validity.astype(sampled.dtype))

@@ -90,18 +90,24 @@ def _track_streams_vmapped(
     return jnp.swapaxes(poses_t, 0, 1)  # [B, T-1, 4, 4]
 
 
-def _track_streams_flat(
+def _track_streams_tuple(
     cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, depth_u16
 ):
-    """Flat-table lockstep: B streams advance together, but the current
-    frames' quad tables are CONCATENATED lane-wise into one [32, B*N]
-    table per level, and each vmapped stream gathers through its own lane
-    offset.  The solver loop then contains ONE flat gather on an
-    UNBATCHED operand — the batched-gather lowering that made naive
-    lockstep a net loss on one chip (BASELINE.md multistream table) never
-    appears.  Per-stream elementwise math, carries, and termination are
-    identical to the vmapped form (bit-equal trajectories: the per-stream
-    table segment holds exactly the per-stream table).
+    """Standalone-table lockstep: B streams advance together, but each
+    stream's per-level quad table stays a SEPARATE standalone array (a
+    tuple, never one stacked [B, 32, N] operand), and the vmapped solver
+    gathers through interp.gather_columns_multi, whose batching rule
+    unrolls one single-stream-shaped gather per table.
+
+    Why: the TPU gather rate collapses superlinearly with the gathered
+    operand's footprint (v5e, 32-channel rows: 0.127 ms/iter at 76800
+    lanes but 34 ms at 8x76800 — tools/gather_probe.py), and slices of a
+    stacked table inherit the stacked buffer's layout, gathering ~4.5x
+    slower than the same data as standalone buffers.  Unrolled standalone
+    gathers run at ~0.2 ms/stream at B=8 — near-linear in B — so lockstep
+    batching amortizes the serial dispatch chain instead of drowning in
+    the gather.  Per-stream math, carries, and termination are identical
+    to the vmapped oracle form.
 
     The N-camera generalization of the reference's dual concurrent match
     (tbb::parallel_invoke, local_tracker.cpp:180-185) — SURVEY.md 2.5 P2.
@@ -134,24 +140,29 @@ def _track_streams_flat(
             )
         return tuple(sel), tuple(refpack)
 
-    def prep_cur_flat(pyr_b):
-        """Flat current-role tables from the BATCHED pyramid: per level,
-        one [32, B*N] quad table plus per-stream lane offsets [B].  Border
-        lanes that wrap across stream seams are never gathered (the same
-        bounds test that already excludes right/bottom-border wrap rows,
-        interp.build_quad_table docstring)."""
-        quads = [None] * num_levels
-        offsets = [None] * num_levels
+    def prep_cur_tuple(pyr_b):
+        """Per-stream standalone quad tables from the BATCHED pyramid:
+        per level, a tuple of B separate [32, N] arrays.
+
+        The quad BUILD is unrolled per stream so each table is the output
+        of its own roll/concat chain — a fresh standalone allocation.
+        This matters: the TPU gather rate depends on the underlying
+        BUFFER, not the logical shape — gathering from a leading-axis
+        slice of a stacked [B, 32, N] array (a sub-region of one big
+        allocation) runs ~4x slower than the identical gather on a
+        standalone buffer (tools/gather_probe.py: 'prepped' 4.4 ms vs
+        'tuple' 1.6 ms/iter at B=8)."""
+        quads = [none] * num_levels
         for level in solve_range:
             lv_b = pyr_b[level]
             accel_b = jax.vmap(build_acceleration_cm)(lv_b)  # [B, 8, N]
-            n = accel_b.shape[-1]
-            flat = jnp.swapaxes(accel_b, 0, 1).reshape(8, B * n)
-            quads[level] = build_quad_table_cm(flat, lv_b.intensity.shape[-1])
-            offsets[level] = jnp.arange(B, dtype=jnp.int32) * n
-        return tuple(quads), tuple(offsets)
+            w = lv_b.intensity.shape[-1]
+            quads[level] = tuple(
+                build_quad_table_cm(accel_b[b], w) for b in range(B)
+            )
+        return tuple(quads)
 
-    def matcher(sel, refpack, quads, offs, init):
+    def matcher(sel, refpack, quads, stream, init):
         ref = PreparedFrame(
             levels=none, sel=sel, refpack=refpack, accel=none, quad=none
         )
@@ -159,16 +170,18 @@ def _track_streams_flat(
             levels=none, sel=none, refpack=none, accel=none, quad=quads
         )
         return match_prepared(
-            cfg, intrinsics, ref, cur, init, quad_offset=offs
+            cfg, intrinsics, ref, cur, init, stream_index=stream
         )
+
+    streams = jnp.arange(B, dtype=jnp.int32)
 
     def step(carry, frames_t):
         (prev_sel, prev_refpack), pose, rel_prev = carry
         cur_pyr_b = jax.vmap(build)(frames_t[0], frames_t[1])
         sel_b, refpack_b = jax.vmap(prep_ref)(cur_pyr_b)
-        quads, offs = prep_cur_flat(cur_pyr_b)
+        quads = prep_cur_tuple(cur_pyr_b)
         r = jax.vmap(matcher, in_axes=(0, 0, None, 0, 0))(
-            prev_sel, prev_refpack, quads, offs, rel_prev
+            prev_sel, prev_refpack, quads, streams, rel_prev
         )
         pose = pose @ r.transformation
         return ((sel_b, refpack_b), pose, r.transformation), pose
@@ -192,13 +205,13 @@ def _track_streams(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, dep
     Each stream is the reference's frame-to-frame accumulation loop
     (camera_dense_tracking.cpp:269-276) with constant-velocity warm
     starts; `vmap` lifts it to a batch, `lax.scan` walks time on device.
-    The fused backends route through the flat-table form (shared quad
-    table + lane offsets); other backends use the per-stream vmap.  Under
-    a mesh this runs INSIDE shard_map on the local batch (see
-    make_multistream_tracker), so the flat table never spans shards.
+    The fused backends route through the standalone-table form (one
+    separate quad table per stream); other backends use the per-stream
+    vmap.  Under a mesh this runs INSIDE shard_map on the local batch
+    (see make_multistream_tracker).
     """
     if _resolve_backend(cfg) in ("fused", "pallas"):
-        return _track_streams_flat(cfg, intrinsics, intensity_u8, depth_u16)
+        return _track_streams_tuple(cfg, intrinsics, intensity_u8, depth_u16)
     return _track_streams_vmapped(cfg, intrinsics, intensity_u8, depth_u16)
 
 

@@ -22,6 +22,7 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/gather_probe.py
 """
 
 import argparse
+import functools
 import time
 
 import numpy as np
@@ -35,7 +36,11 @@ def main():
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument(
         "--variant", default="all",
-        choices=["all", "single", "flat", "sharedT", "batched"],
+        choices=[
+            "all", "single", "flat", "sharedT", "batched",
+            "sliced", "tuple", "rowmajor", "sweep", "prepped", "dualidx",
+            "pcopy", "dualbar",
+        ],
         help="run one variant per process (tunnel compiles are slow)",
     )
     args = ap.parse_args()
@@ -156,6 +161,206 @@ def main():
     if want("batched"):
         t = measure(batched, table_b, u_b, v_b)
         print(f"batched  ({B} streams, per-stream tables): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # unrolled per-stream gathers on dynamic-sliced standalone tables: each
+    # stream's [32, N] segment is sliced OUT of the flat table first (a
+    # native-layout copy), then gathered exactly like the single-stream form
+    def sliced(i, table, u, v):
+        outs = []
+        for b in range(B):
+            seg = jax.lax.dynamic_slice_in_dim(table, b * N, N, axis=1)
+            out, _ = bilinear_sample_quad_cm(seg, (H, W), shift(i, u[b]), v[b])
+            outs.append(out)
+        return jnp.stack(outs)
+
+    if want("sliced"):
+        t = measure(sliced, table_flat, u_b, v_b)
+        print(f"sliced   ({B} streams, slice-out + gather): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # per-stream tables as SEPARATE arrays end to end (a tuple — never one
+    # stacked [B, 32, N] operand), unrolled gathers
+    def tupled(i, tables, u, v):
+        outs = []
+        for b in range(B):
+            out, _ = bilinear_sample_quad_cm(tables[b], (H, W), shift(i, u[b]), v[b])
+            outs.append(out)
+        return jnp.stack(outs)
+
+    if want("tuple"):
+        tables = tuple(jnp.asarray(np.asarray(table_b[b])) for b in range(B))
+        sync(tables[0])
+        t = measure(tupled, tables, u_b, v_b)
+        print(f"tuple    ({B} streams, separate tables): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # row-major gather: [N, 32] table, gather ROWS on the major axis
+    def rowmajor(i, table, u, v):
+        idx = (
+            jnp.clip(v.astype(jnp.int32), 0, H - 2) * W
+            + jnp.clip(shift(i, u).astype(jnp.int32), 0, W - 2)
+        )
+        return table[idx]  # [N, 32]
+
+    if want("rowmajor"):
+        table_rm = jnp.asarray(np.asarray(table_b[0]).T.copy())
+        sync(table_rm)
+        t = measure(rowmajor, table_rm, u_b[0], v_b[0])
+        print(f"rowmajor (1 stream, [N,32] row gather): {t*1e3:7.3f} ms/iter", flush=True)
+        table_rm_b = jnp.asarray(
+            np.swapaxes(np.asarray(table_b), 1, 2).reshape(B * N, 32).copy()
+        )
+        u_f, v_f = u_b.reshape(-1), v_b.reshape(-1)
+
+        def rowmajor_flat(i, table, u, v):
+            idx = (
+                jnp.clip(v.astype(jnp.int32), 0, H - 2) * W
+                + jnp.clip(shift(i, u).astype(jnp.int32), 0, W - 2)
+            )
+            idx = idx + jnp.repeat(offs, N, total_repeat_length=B * N)
+            return table[idx]
+
+        sync(table_rm_b)
+        t = measure(rowmajor_flat, table_rm_b, u_f, v_f)
+        print(f"rowmajor ({B} streams, [B*N,32] row gather): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # PRODUCTION shape: per-stream tables sliced out of the batched array
+    # INSIDE the jit (prepare stage), optimization_barrier'd into standalone
+    # buffers, then unrolled gathers inside the solver scan — models the
+    # lockstep engine where tables are built per frame from the batched
+    # pyramid but must not fuse into the per-iteration gather
+    if want("prepped"):
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def prepped_run(k, table_b, u, v):
+            tables = jax.lax.optimization_barrier(
+                tuple(table_b[b] for b in range(B))
+            )
+
+            def step(carry, i):
+                outs = []
+                for b in range(B):
+                    out, _ = bilinear_sample_quad_cm(
+                        tables[b], (H, W), shift(i, u[b]), v[b]
+                    )
+                    outs.append(out)
+                tot = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+                return carry + tot * 1e-30, None
+
+            total, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), jnp.arange(k))
+            return total
+
+        def run_k(k):
+            return lambda *a: prepped_run(k, *a)
+
+        sync(prepped_run(K_ITERS, table_b, u_b, v_b))
+        t_short = _timed(run_k(K_ITERS), table_b, u_b, v_b)
+        t_long = _timed(run_k(K_ITERS * 9), table_b, u_b, v_b)
+        t = (t_long - t_short) / (K_ITERS * 8)
+        print(f"prepped  ({B} streams, barrier-sliced tables): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # like prepped, but each slice goes through a PALLAS identity copy —
+    # a distinct output buffer the slice cannot be elided into, testing
+    # whether the gather slowdown is a property of the underlying BUFFER
+    # (sub-region of one big allocation) rather than the logical shape
+    if want("pcopy"):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _copy_kernel(src, dst):
+            dst[:] = src[:]
+
+        def pallas_copy(x):
+            blk = 3072
+            c, n = x.shape
+            assert n % blk == 0, (c, n)
+            return pl.pallas_call(
+                _copy_kernel,
+                grid=(n // blk,),
+                in_specs=[pl.BlockSpec((c, blk), lambda g: (0, g))],
+                out_specs=pl.BlockSpec((c, blk), lambda g: (0, g)),
+                out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            )(x)
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def pcopy_run(k, table_b, u, v):
+            tables = tuple(pallas_copy(table_b[b]) for b in range(B))
+
+            def step(carry, i):
+                outs = []
+                for b in range(B):
+                    out, _ = bilinear_sample_quad_cm(
+                        tables[b], (H, W), shift(i, u[b]), v[b]
+                    )
+                    outs.append(out)
+                tot = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+                return carry + tot * 1e-30, None
+
+            total, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), jnp.arange(k))
+            return total
+
+        def run_k(k):
+            return lambda *a: pcopy_run(k, *a)
+
+        sync(pcopy_run(K_ITERS, table_b, u_b, v_b))
+        t_short = _timed(run_k(K_ITERS), table_b, u_b, v_b)
+        t_long = _timed(run_k(K_ITERS * 9), table_b, u_b, v_b)
+        t = (t_long - t_short) / (K_ITERS * 8)
+        print(f"pcopy    ({B} streams, pallas-copied tables): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # the DUAL-MATCH shape with an optimization_barrier between the flat
+    # gather and the batch-unflatten transpose in the custom_vmap rule
+    if want("dualbar"):
+
+        def dualbar(i, table, u, v):
+            outs = []
+            for b in range(2):
+                idx = (
+                    jnp.clip(v[b].astype(jnp.int32), 0, H - 2) * W
+                    + jnp.clip(shift(i, u[b]).astype(jnp.int32), 0, W - 2)
+                )
+                outs.append(table[:, idx])
+            return jnp.stack(outs)
+
+        t = measure(dualbar, table_b[0], u_b[:2], v_b[:2])
+        print(f"dualbar  (2 streams, two N-idx gathers, shared table): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # the DUAL-MATCH shape: ONE shared [32, N] table (stays N lanes),
+    # TWO streams of indices (the batch-2 keyframe/odometry match)
+    if want("dualidx"):
+
+        def dual(i, table, u, v):
+            out, _ = jax.vmap(
+                lambda uu, vv: bilinear_sample_quad_cm(
+                    table, (H, W), shift(i, uu), vv
+                ),
+                in_axes=(0, 0),
+            )(u, v)
+            return out
+
+        t = measure(dual, table_b[0], u_b[:2], v_b[:2])
+        print(f"dualidx  (2 streams, shared [32,{N}] table): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # where is the size cliff? single flat gather at B' = 1, 2, 4 streams
+    if want("sweep"):
+        for bp in (1, 2, 4):
+            tb = jnp.asarray(
+                np.swapaxes(np.asarray(table_b[:bp]), 0, 1).reshape(32, bp * N)
+            )
+            ob = jnp.arange(bp, dtype=jnp.int32) * N
+
+            def flat_b(i, table, u, v, ob=ob, bp=bp):
+                idx = (
+                    jnp.clip(v.astype(jnp.int32), 0, H - 2) * W
+                    + jnp.clip(shift(i, u).astype(jnp.int32), 0, W - 2)
+                )
+                idx = idx + jnp.repeat(ob, N, total_repeat_length=bp * N)
+                return gather_columns(table, idx)
+
+            sync(tb)
+            t = measure(flat_b, tb, u_b[:bp].reshape(-1), v_b[:bp].reshape(-1))
+            print(
+                f"sweep    ({bp} streams, flat {bp*N} rows): {t*1e3:7.3f} ms/iter",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
