@@ -224,6 +224,7 @@ def solve_blocks_cg(
     tol: float = 1e-6,
     axis_name: Optional[str] = None,
     damping=GAUGE_DAMPING,
+    return_iterations: bool = False,
 ):
     """Preconditioned conjugate gradients on the block-sparse gauged
     normal equations — the scalable replacement for the dense [6N, 6N]
@@ -278,7 +279,11 @@ def solve_blocks_cg(
         p = z + beta * p
         return x, r, z, p, rz_new, k + 1
 
-    x, r, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, jnp.asarray(0)))
+    x, r, _, _, _, k = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, jnp.asarray(0))
+    )
+    if return_iterations:
+        return x, k
     return x
 
 
@@ -971,6 +976,16 @@ class PoseGraph:
     # memory and O(N^3) solve lose to O(E) CG)
     DENSE_SOLVER_MAX_VERTICES = 128
 
+    # separator-set cap for the Schur chain direct solver: the reduced
+    # system is a dense [6S, 6S] f64 Cholesky, cheap far beyond the
+    # all-vertex dense cap (S=384 -> 2304^2, ~4 GFLOP).  Keeping this
+    # high matters because block-Jacobi CG converges SLOWLY on loopy
+    # keyframe graphs — measured (tools/cg_iteration_stats.py): a
+    # 2049-vertex ring with loop closures every 7 frames needs 5-8k CG
+    # iterations per GN step at tol=1e-6, while chain elimination solves
+    # it exactly in two sweeps + one ~1750-dof dense factorization.
+    SCHUR_SEPARATOR_MAX_VERTICES = 384
+
     def _chain_structure(self, max_level):
         """Host elimination-structure analysis for the Schur chain solver,
         under the same gauge convention as optimize() (vertex 0 fixed when
@@ -1122,7 +1137,8 @@ class PoseGraph:
                 struct = self._chain_structure(max_level)
                 sep_ok = (
                     struct is not None
-                    and struct.sep_ids.shape[0] <= self.DENSE_SOLVER_MAX_VERTICES
+                    and struct.sep_ids.shape[0]
+                    <= self.SCHUR_SEPARATOR_MAX_VERTICES
                 )
                 solver = "schur" if sep_ok else "cg"
         if solver == "sparse":

@@ -39,7 +39,7 @@ def main():
         choices=[
             "all", "single", "flat", "sharedT", "batched",
             "sliced", "tuple", "rowmajor", "sweep", "prepped", "dualidx",
-            "pcopy", "dualbar",
+            "pcopy", "dualbar", "tuplefull", "vmapfull",
         ],
         help="run one variant per process (tunnel compiles are slow)",
     )
@@ -191,6 +191,46 @@ def main():
         sync(tables[0])
         t = measure(tupled, tables, u_b, v_b)
         print(f"tuple    ({B} streams, separate tables): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # full bilinear sampling per stream, manually unrolled (all [N] shapes,
+    # no batched intermediate) — the lower bound for the production path
+    if want("tuplefull"):
+        tables = tuple(jnp.asarray(np.asarray(table_b[b])) for b in range(B))
+        sync(tables[0])
+
+        def tuplefull(i, tables, u, v):
+            outs = []
+            for b in range(B):
+                out, ok = bilinear_sample_quad_cm(
+                    tables[b], (H, W), shift(i, u[b]), v[b]
+                )
+                outs.append(out.sum() + ok.sum())
+            return jnp.stack(outs)
+
+        t = measure(tuplefull, tables, u_b, v_b)
+        print(f"tuplefull({B} streams, unrolled bilinear): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # full bilinear sampling through the PRODUCTION vmapped form:
+    # vmap(bilinear_sample_quad_cm) with a closed-over tuple of standalone
+    # tables + stream_index (custom_vmap unrolls only the inner gather)
+    if want("vmapfull"):
+        from dvo_slam_tpu.ops.interp import gather_columns_multi  # noqa: F401
+
+        tables = tuple(jnp.asarray(np.asarray(table_b[b])) for b in range(B))
+        streams = jnp.arange(B, dtype=jnp.int32)
+        sync(tables[0])
+
+        def vmapfull(i, tables, u, v, streams):
+            def one(uu, vv, s):
+                out, ok = bilinear_sample_quad_cm(
+                    tables, (H, W), shift(i, uu), vv, stream_index=s
+                )
+                return out.sum() + ok.sum()
+
+            return jax.vmap(one)(u, v, streams)
+
+        t = measure(vmapfull, tables, u_b, v_b, streams)
+        print(f"vmapfull ({B} streams, vmapped bilinear): {t*1e3:7.3f} ms/iter", flush=True)
 
     # row-major gather: [N, 32] table, gather ROWS on the major axis
     def rowmajor(i, table, u, v):

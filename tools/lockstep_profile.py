@@ -142,9 +142,16 @@ def main():
             )
         return tuple(sel), tuple(refpack)
 
+    def _cycle(i, t1, t2):
+        # real data cycling (select between two rendered sets) so XLA
+        # cannot hoist the stage out of the measurement scan; the selects
+        # themselves add ~bandwidth-cost of one pyramid copy
+        return jax.tree.map(
+            lambda a, b: jnp.where(i % 2 == 0, a, b), t1, t2
+        )
+
     def prep_ref_b(i, pyr_b, pyr_b2):
-        p = jax.tree.map(lambda a: a + (i % 2).astype(a.dtype) * 0, pyr_b)
-        return jax.vmap(prep_ref)(p)
+        return jax.vmap(prep_ref)(_cycle(i, pyr_b, pyr_b2))
 
     if want("prepref"):
         t = measure(prep_ref_b, pyr_b, pyr_b2)
@@ -153,10 +160,8 @@ def main():
     def prep_cur(i, pyr_b, pyr_b2):
         quads = []
         for level in solve_range:
-            lv_b = pyr_b[level]
-            accel_b = jax.vmap(build_acceleration_cm)(
-                jax.tree.map(lambda a: a + (i % 2).astype(a.dtype) * 0, lv_b)
-            )
+            lv_b = _cycle(i, pyr_b[level], pyr_b2[level])
+            accel_b = jax.vmap(build_acceleration_cm)(lv_b)
             w = lv_b.intensity.shape[-1]
             quads.append(tuple(build_quad_table_cm(accel_b[b], w) for b in range(B)))
         return tuple(quads)
@@ -170,6 +175,60 @@ def main():
     quads = jax.jit(lambda p: prep_cur(jnp.zeros((), jnp.int32), p, p))(pyr_b2)
     sync(sel_b), sync(refpack_b), sync(quads)
     streams = jnp.arange(B, dtype=jnp.int32)
+
+    # gather-only and stats-only at L1 (isolate the eval decomposition)
+    if want("gather") or want("stats"):
+        level = 1
+        k_lv = TUM_FR1.at_level(level)
+        lv_shape = tuple(s // (2 ** level) for s in shape)
+        dof = cfg.influence_function_param
+        quads_lv = quads[solve_range.index(level)]
+
+        def gather_only(i, refpack_lv, streams):
+            def one(refpack, stream):
+                d = (i % 4).astype(jnp.float32) * 1e-3
+                T = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(d)
+                return warp_and_sample_cm(
+                    refpack, quads_lv, lv_shape, k_lv, T, stream_index=stream
+                )
+
+            return jax.vmap(one, in_axes=(0, 0))(refpack_lv, streams)
+
+        if want("gather"):
+            t = measure(gather_only, refpack_b[level], streams)
+            print(f"gather L{level} (B={B} warp+gather):   {t*1e3:7.3f} ms/iter", flush=True)
+
+        if want("stats"):
+            sampled_b = jax.jit(gather_only)(jnp.zeros((), jnp.int32), refpack_b[level], streams)
+            sync(sampled_b)
+
+            def stats_only(i, sampled_b, refpack_lv):
+                def one(sampled, refpack):
+                    p3 = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
+                    s = sampled.at[0, 0].add((i % 4).astype(jnp.float32) * 1e-6)
+                    stats = pallas_kernels.fused_stats_pallas(
+                        s, refpack, p3, jnp.asarray(1, jnp.int32), k_lv, dof
+                    )
+                    return stats.m00
+
+                return jax.vmap(one)(sampled_b, refpack_lv)
+
+            t = measure(stats_only, sampled_b, refpack_b[level])
+            print(f"stats L{level}  (B={B} fused stats):    {t*1e3:7.3f} ms/iter", flush=True)
+
+            def stats_xla_only(i, sampled_b, refpack_lv):
+                def one(sampled, refpack):
+                    p3 = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
+                    s = sampled.at[0, 0].add((i % 4).astype(jnp.float32) * 1e-6)
+                    stats = pallas_kernels.fused_stats_xla(
+                        s, refpack, p3, jnp.asarray(1, jnp.int32), k_lv, dof
+                    )
+                    return stats.m00
+
+                return jax.vmap(one)(sampled_b, refpack_lv)
+
+            t = measure(stats_xla_only, sampled_b, refpack_b[level])
+            print(f"statsX L{level} (B={B} XLA-twin stats): {t*1e3:7.3f} ms/iter", flush=True)
 
     # one solver-iteration evaluate per level: vmapped warp+gather+stats
     for level in solve_range:
@@ -192,7 +251,7 @@ def main():
                 )
                 return stats.m00
 
-            return jax.vmap(one, in_axes=(0, None, 0))(refpack_lv, streams)
+            return jax.vmap(one, in_axes=(0, 0))(refpack_lv, streams)
 
         t = measure(
             functools.partial(evaluate),
