@@ -194,6 +194,34 @@ def main():
     hard_est = np.concatenate([np.eye(4)[None], hard_out])
     hard_ate = trajectory.ate_rmse(stamps, hard_est, stamps, hard_poses)
 
+    # multistream aggregate throughput on ONE chip, both schedules
+    # (parallel/multistream.py): lockstep = live multi-camera serving,
+    # sequential = offline batch reprocessing.  8 streams of the same
+    # operating point; aggregate fps = B*(T-1)/elapsed.
+    from dvo_slam_tpu.parallel.multistream import make_multistream_tracker
+
+    B = 8
+    ms_frames = 50
+    iu_b = jnp.asarray(
+        np.stack([np.roll(intensity_u8[:ms_frames], b, axis=0) for b in range(B)])
+    )
+    du_b = jnp.asarray(
+        np.stack([np.roll(depth_u16[:ms_frames], b, axis=0) for b in range(B)])
+    )
+    np.asarray(iu_b[0, 0, 0, 0])
+    multistream = {}
+    for schedule in ("lockstep", "sequential"):
+        run = make_multistream_tracker(cfg, TUM_FR1, schedule=schedule)
+        np.asarray(run(iu_b, du_b))  # compile + warm
+        ms_variants = [iu_b.at[:, :, 0, k].add(np.uint8(k + 1)) for k in range(2)]
+        for v in ms_variants:
+            np.asarray(v[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        for vi in ms_variants:
+            np.asarray(run(vi, du_b))
+        ms_elapsed = (time.perf_counter() - t0) / len(ms_variants)
+        multistream[schedule] = round(B * (ms_frames - 1) / ms_elapsed, 2)
+
     # full keyframe-SLAM front end (dual match + policy + keyframe switch
     # as one scanned program, models/streaming.py) on the same sequence
     from dvo_slam_tpu.config import benchmark_config as _bc
@@ -262,6 +290,8 @@ def main():
         "vs_baseline": round(fps / 30.0, 2),
         "ate_rmse_m": round(float(ate), 5),
         "ate_rmse_hard_m": round(float(hard_ate), 5),
+        "aggregate_fps_8stream_lockstep": multistream["lockstep"],
+        "aggregate_fps_8stream_sequential": multistream["sequential"],
         "slam_frontend_fps": round(slam_fps, 2),
         "slam_ate_rmse_m": round(float(slam_ate), 5),
         "slam_e2e_fps": round(e2e_fps, 2),

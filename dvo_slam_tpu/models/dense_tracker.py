@@ -257,7 +257,7 @@ def _match_level(
     scanned front-end carries free of unused full-resolution tensors.
     Stream batching: ``quad`` may be a TUPLE of per-stream standalone
     tables selected by ``stream_index`` (the lockstep engine's form — see
-    interp.gather_columns_multi), or a flat shared [32, B*N] table indexed
+    interp._quad_sampler), or a flat shared [32, B*N] table indexed
     at ``quad_offset`` (only for small tables).
     """
     backend = _resolve_backend(cfg)
@@ -560,7 +560,7 @@ def match_prepared(
 
     Stream batching: when ``cur.quad`` holds per-level TUPLES of
     per-stream standalone tables, ``stream_index`` selects this stream's
-    table (the lockstep engine — interp.gather_columns_multi);
+    table (the lockstep engine — interp._quad_sampler);
     ``quad_offset`` (per-level tuple of scalars) instead selects a lane
     segment of flat shared tables (small-table form).
     """

@@ -214,11 +214,22 @@ class BatchedMatcher:
         if batch not in self._cache:
             single = functools.partial(match_prepared, self.cfg, self.intrinsics)
 
-            def flat_batch(ref_b, cur_b, init_b):
-                return jax.vmap(
-                    lambda r, c, i: _flatten_result(single(r, c, i)),
-                    in_axes=(0, 0, 0),
-                )(ref_b, cur_b, init_b)
+            def flat_batch(ref_b, cur_b, quads, streams, init_b):
+                # cur quad tables ride OUTSIDE the vmap as per-proposal
+                # tuples of STANDALONE arrays selected by stream index —
+                # stacked [B, 32, N] tables make every solver-loop gather
+                # read slices of one big buffer, ~3x slower than the same
+                # gathers on standalone tables (interp._quad_sampler)
+                def one(r, c, s, i):
+                    if quads is not None:
+                        return _flatten_result(
+                            single(r, c._replace(quad=quads), i, stream_index=s)
+                        )
+                    return _flatten_result(single(r, c, i))
+
+                return jax.vmap(one, in_axes=(0, 0, 0, 0))(
+                    ref_b, cur_b, streams, init_b
+                )
 
             self._cache[batch] = jax.jit(flat_batch)
         return self._cache[batch]
@@ -243,9 +254,26 @@ class BatchedMatcher:
         ] + [np.eye(4, dtype=np.float32)] * pad
 
         ref_b = jax.tree.map(lambda *xs: jnp.stack(xs), *refs)
+        # current-role quad tables stay per-proposal STANDALONE arrays
+        # (never stacked — see _fn); everything else stacks for the vmap
+        fused = any(q is not None for q in curs[0].quad)
+        if fused:
+            quads = tuple(
+                None
+                if curs[0].quad[level] is None
+                else tuple(c.quad[level] for c in curs)
+                for level in range(len(curs[0].quad))
+            )
+            none_quad = (None,) * len(curs[0].quad)
+            curs = [c._replace(quad=none_quad) for c in curs]
+        else:
+            quads = None
         cur_b = jax.tree.map(lambda *xs: jnp.stack(xs), *curs)
+        streams = jnp.arange(bucket, dtype=jnp.int32)
         init_b = jnp.asarray(np.stack(inits))
-        flat = np.asarray(self._fn(bucket)(ref_b, cur_b, init_b))  # one download
+        flat = np.asarray(
+            self._fn(bucket)(ref_b, cur_b, quads, streams, init_b)
+        )  # one download
         return [_decode_result(flat[i]) for i in range(n)]
 
     def match(self, ref: Frame, cur: Frame, initial=None) -> HostTrackingResult:

@@ -427,6 +427,65 @@ def chain_partition(n, ei, ej, active, allocated, free):
     )
 
 
+def _pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def pad_chain_structure(struct: ChainStructure, fixed_vertex: int) -> ChainStructure:
+    """Pad every ChainStructure axis to the next power of two so the jitted
+    Schur solvers keep STABLE SHAPES as the graph grows.
+
+    Without this, every keyframe insertion changes the structure shapes
+    and the incremental optimization recompiles per call — through this
+    sandbox's remote-compile tunnel that cost ~0.5 s/frame of the
+    end-to-end SLAM budget.  Padding is free by construction:
+    zero-length segments are masked by ``seg_len == 0``; padded separator
+    rows point at ``fixed_vertex`` (free = 0, so their reduced-system rows
+    gauge to identity and back-substitute to zero before the scatter-add);
+    padded separator-separator edge slots couple two such gauged rows.
+    """
+    s = {k: np.asarray(v) for k, v in struct._asdict().items()}
+    g, kp1 = s["seg_edges"].shape
+    k = kp1 - 1
+    g_pad = _pow2(g)
+    k_pad = _pow2(max(k, 1))
+    s_count = s["sep_ids"].shape[0]
+    s_pad = _pow2(s_count)
+    e_count = s["sep_edge"].shape[0]
+    e_pad = _pow2(max(e_count, 1))
+
+    def pad_to(a, shape, fill=0):
+        out = np.full(shape, fill, a.dtype)
+        out[tuple(slice(0, d) for d in a.shape)] = a
+        return out
+
+    # padded separators sit on a fixed (gauged-out) vertex; padded
+    # sep-edges couple two padded separator rows
+    pad_sep_row = s_count  # first padded dense separator index
+    if s_pad == s_count:
+        # need at least one gauged row to park padded edges on
+        if e_pad != e_count:
+            s_pad = _pow2(s_count + 1)
+    return ChainStructure(
+        sep_ids=jnp.asarray(
+            pad_to(s["sep_ids"], (s_pad,), fill=int(fixed_vertex))
+        ),
+        sep_edge=jnp.asarray(pad_to(s["sep_edge"], (e_pad,))),
+        sep_edge_a=jnp.asarray(
+            pad_to(s["sep_edge_a"], (e_pad,), fill=min(pad_sep_row, s_pad - 1))
+        ),
+        sep_edge_b=jnp.asarray(
+            pad_to(s["sep_edge_b"], (e_pad,), fill=min(pad_sep_row, s_pad - 1))
+        ),
+        seg_edges=jnp.asarray(pad_to(s["seg_edges"], (g_pad, k_pad + 1))),
+        seg_flip=jnp.asarray(pad_to(s["seg_flip"], (g_pad, k_pad + 1))),
+        seg_len=jnp.asarray(pad_to(s["seg_len"], (g_pad,))),
+        seg_a=jnp.asarray(pad_to(s["seg_a"], (g_pad,))),
+        seg_b=jnp.asarray(pad_to(s["seg_b"], (g_pad,))),
+        seg_vert=jnp.asarray(pad_to(s["seg_vert"], (g_pad, k_pad))),
+    )
+
+
 def schur_chain_solve(
     struct: ChainStructure, n, H_ii, H_ij, H_jj, b, free, axis_name=None,
     damping=GAUGE_DAMPING,
@@ -506,10 +565,21 @@ def schur_chain_solve(
     Om = jnp.moveaxis(O, 1, 0)
     Rm = jnp.moveaxis(R, 1, 0)
 
+    def _spd_solve(d, r):
+        """Batched SPD block solve via Cholesky — the eliminated diagonal
+        blocks stay SPD (+damping), and unlike LU this lowers on every
+        backend's f64 path (TPU implements f64 Cholesky/triangular but NOT
+        LuDecomposition)."""
+        L = jnp.linalg.cholesky(d)
+        y = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        return jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), y, lower=False
+        )
+
     def fwd(carry, inp):
         d_prev, r_prev, o_prev = carry
         d_t, r_t, o_t = inp
-        z = jnp.linalg.solve(d_prev, jnp.concatenate([o_prev, r_prev], -1))
+        z = _spd_solve(d_prev, jnp.concatenate([o_prev, r_prev], -1))
         zo, zr = z[..., :6], z[..., 6:]
         d_new = d_t - jnp.einsum("gba,gbc->gac", o_prev, zo)
         r_new = r_t - jnp.einsum("gba,gbc->gac", o_prev, zr)
@@ -523,7 +593,7 @@ def schur_chain_solve(
 
     def bwd(x_next, inp):
         d_t, r_t, o_t = inp
-        x_t = jnp.linalg.solve(d_t, r_t - jnp.einsum("gab,gbc->gac", o_t, x_next))
+        x_t = _spd_solve(d_t, r_t - jnp.einsum("gab,gbc->gac", o_t, x_next))
         return x_t, x_t
 
     _, Xm = jax.lax.scan(bwd, Rm[0] - Rm[0], (Dt, Rt, Om), reverse=True)
@@ -999,9 +1069,17 @@ class PoseGraph:
         active = self.edge_active & (
             self.edge_level[: len(self.edge_i)] <= max_level
         )
-        return chain_partition(
+        struct = chain_partition(
             cap, self.edge_i, self.edge_j, active, allocated, allocated & ~fixed
         )
+        if struct is None:
+            self._real_sep_count = 0
+            return None
+        # the UNPADDED separator count drives the auto solver policy
+        self._real_sep_count = int(struct.sep_ids.shape[0])
+        # pow2-pad so the jitted solver keeps stable shapes as the graph
+        # grows (one compile per capacity bucket instead of per call)
+        return pad_chain_structure(struct, int(np.nonzero(fixed)[0][0]))
 
     def _optimize_sparse_direct(self, iterations, delta, arrays, algorithm="gn"):
         """Host-side sparse-direct GN/LM: per-edge blocks on device, exact
@@ -1137,8 +1215,7 @@ class PoseGraph:
                 struct = self._chain_structure(max_level)
                 sep_ok = (
                     struct is not None
-                    and struct.sep_ids.shape[0]
-                    <= self.SCHUR_SEPARATOR_MAX_VERTICES
+                    and self._real_sep_count <= self.SCHUR_SEPARATOR_MAX_VERTICES
                 )
                 solver = "schur" if sep_ok else "cg"
         if solver == "sparse":

@@ -12,6 +12,8 @@ still NaN, so even zero-weight neighbors poison a sample there).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -48,56 +50,19 @@ def _gather_columns_vmap(axis_size, in_batched, table, idx):
         # one UNBATCHED gather per batch element on the shared table: the
         # flattened single-gather form ([B*M] indices + batch-unflatten
         # transpose) lowers ~6x slower (v5e, B=2 at the L1 shape: 1.64 ms
-        # vs 0.27 ms/iter — tools/gather_probe.py dualidx vs dualbar)
-        out = jnp.stack([table[:, idx[b]] for b in range(axis_size)])
+        # vs 0.27 ms/iter — tools/gather_probe.py dualidx vs dualbar).
+        # The barrier keeps each gather an UNFUSED op with a materialized
+        # output: a gather fused into its consumer arithmetic lowers ~3x
+        # slower at this shape (tuple vs tuplefull in the probe).
+        out = jnp.stack(
+            [
+                jax.lax.optimization_barrier(table[:, idx[b]])
+                for b in range(axis_size)
+            ]
+        )
         return out, True
     # batched table, shared indices
     return table[:, :, idx], True
-
-
-@jax.custom_batching.custom_vmap
-def gather_columns_multi(tables, stream, idx):
-    """Gather columns from ONE of several STANDALONE tables.
-
-    ``tables`` is a tuple of B separate [C, N] arrays — deliberately never
-    stacked into a [B, C, N] operand: the TPU gather rate collapses
-    superlinearly with table footprint (measured on v5e: 0.127 ms at
-    76800 lanes -> 34 ms at 8x76800; tools/gather_probe.py), and slices of
-    a stacked array inherit the stacked buffer's layout, so only gathers on
-    standalone buffers run at the single-stream rate (~0.2 ms/stream at
-    B=8 vs 0.7 batched / 4.3 flat).
-
-    Unbatched semantics: ``tables[stream][:, idx]`` (a ``lax.switch``).
-
-    CONTRACT for the vmapped form (the lockstep multistream engine): the
-    vmapped axis must iterate the tables in tuple order — ``stream`` MUST
-    be ``jnp.arange(len(tables))`` along the batch axis.  The batching rule
-    unrolls one standalone gather per table and cannot inspect the traced
-    ``stream`` values to verify this.
-    """
-    branches = [lambda i, t=t: t[:, i] for t in tables]
-    return jax.lax.switch(stream, branches, idx)
-
-
-@gather_columns_multi.def_vmap
-def _gather_columns_multi_vmap(axis_size, in_batched, tables, stream, idx):
-    tables_b, stream_b, idx_b = in_batched
-    if any(jax.tree.leaves(tables_b)):
-        raise NotImplementedError(
-            "gather_columns_multi: tables must stay unbatched standalone "
-            "arrays (that is the whole point — see docstring)"
-        )
-    if not (stream_b and idx_b):
-        raise NotImplementedError(
-            "gather_columns_multi: stream and idx must be batched together"
-        )
-    if axis_size != len(tables):
-        raise ValueError(
-            f"gather_columns_multi: vmap axis size {axis_size} != "
-            f"{len(tables)} tables (the batch axis must run the tuple)"
-        )
-    out = jnp.stack([tables[b][:, idx[b]] for b in range(axis_size)])
-    return out, True
 
 
 def bilinear_sample_accel(accel, u, v):
@@ -211,20 +176,10 @@ def build_quad_table_cm(accel_cm, width: int):
     return jnp.concatenate([accel_cm, right, down, down_right], axis=0)
 
 
-def bilinear_sample_quad_cm(quad_cm, shape, u, v, lane_offset=None, stream_index=None):
-    """Bilinear sampling through the channel-major quad table: ONE column
-    gather of [32, N] brings each pixel's whole 2x2 support; the result
-    stays channel-major [8, N].  Semantics identical to
-    :func:`bilinear_sample_quad`.
-
-    ``quad_cm`` is either one [32, N] table, or — for lockstep stream
-    batching — a TUPLE of per-stream standalone tables selected by
-    ``stream_index`` (see :func:`gather_columns_multi` for why the tables
-    must never be stacked).  ``lane_offset`` supports the alternative FLAT
-    form: a [32, B*N] lane-concatenated table indexed at
-    ``lane_offset = b*N`` (only viable for SMALL total tables — the gather
-    rate collapses superlinearly with table footprint, gather_probe.py).
-    """
+def _sample_quad_cols(quad_cm, shape, u, v, lane_offset=None):
+    """Unbatched full bilinear sample through ONE [32, N] quad table —
+    the shared math of every quad-sampling form (gather + combine +
+    validity; semantics of :func:`bilinear_sample_quad`)."""
     h, w = shape
     in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
 
@@ -239,14 +194,9 @@ def bilinear_sample_quad_cm(quad_cm, shape, u, v, lane_offset=None, stream_index
 
     idx = y0.astype(jnp.int32) * w + x0.astype(jnp.int32)
     idx = jnp.clip(idx, 0, h * w - 1)
-    if isinstance(quad_cm, (tuple, list)):
-        if stream_index is None:
-            raise ValueError("tuple quad table requires stream_index")
-        cols = gather_columns_multi(tuple(quad_cm), stream_index, idx)
-    else:
-        if lane_offset is not None:
-            idx = idx + lane_offset
-        cols = gather_columns(quad_cm, idx)  # [32, N]
+    if lane_offset is not None:
+        idx = idx + lane_offset
+    cols = quad_cm[:, idx]  # [32, N]
     a00, a10, a01, a11 = cols[:8], cols[8:16], cols[16:24], cols[24:32]
 
     values = (a00 * x0w + a10 * x1w) * y0w + (a01 * x0w + a11 * x1w) * y1w
@@ -258,6 +208,111 @@ def bilinear_sample_quad_cm(quad_cm, shape, u, v, lane_offset=None, stream_index
         & (a11[VALID_CHANNEL] > 0.5)
     )
     return values, in_bounds & neighbors_valid
+
+
+@functools.lru_cache(maxsize=None)
+def _quad_sampler(shape, n_tables: int):
+    """custom_vmap'd full quad sampling: (tables, stream, u, v) ->
+    (values [8, N], valid [N]).
+
+    The batching boundary sits around the WHOLE sample (gather + bilinear
+    combine + validity), not just the gather: when a stream batch is
+    vmapped, the rule below unrolls one complete single-stream-shaped
+    sample per stream and stacks the finished [8, N] outputs.  Measured on
+    v5e at the L1 shape (B=8): this form runs at 1.6 ms/iter, while every
+    alternative lowering loses bigly — one flat [32, B*N] gather 34 ms,
+    per-stream gathers on slices of a stacked [B, 32, N] operand 5.6 ms,
+    and (the subtle one) per-stream gathers whose combine+REDUCE fuse into
+    the gather 4.8 ms (tools/gather_probe.py: tuple / flat / batched /
+    tuplefull).  Two invariants follow: tables stay STANDALONE buffers
+    (never slices of a stacked array), and each gather's output feeds only
+    its own stream's combine, stacked afterwards.
+
+    ``n_tables`` disambiguates the three batched layouts: B per-stream
+    standalone tables (lockstep multistream), one shared table sampled by
+    B index streams (the batch-2 dual keyframe/odometry match), or one
+    BATCHED [B, 32, N] table stack (proposal validation waves).
+
+    CONTRACT: with n_tables == axis_size the vmapped axis must iterate the
+    tables in tuple order (``stream`` must be ``arange`` along the batch
+    axis) — the rule cannot inspect the traced stream values.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def sample(tables, stream, u, v):
+        if n_tables == 1:
+            values, valid = _sample_quad_cols(tables[0], shape, u, v)
+        else:
+            values, valid = jax.lax.switch(
+                stream,
+                [
+                    functools.partial(_sample_quad_cols, t, shape)
+                    for t in tables
+                ],
+                u,
+                v,
+            )
+        return values, valid
+
+    @sample.def_vmap
+    def _rule(axis_size, in_batched, tables, stream, u, v):
+        tables_b = any(jax.tree.leaves(in_batched[0]))
+        _, _, u_b, v_b = (
+            in_batched[0],
+            in_batched[1],
+            in_batched[2],
+            in_batched[3],
+        )
+        if not (u_b and v_b):
+            raise NotImplementedError(
+                "quad sampling: u and v must be batched together"
+            )
+        vals, oks = [], []
+        for b in range(axis_size):
+            if tables_b:
+                table = tables[0][b]  # stacked [B, 32, N] (wave batching)
+            elif n_tables == axis_size:
+                table = tables[b]  # per-stream standalone tables
+            elif n_tables == 1:
+                table = tables[0]  # one shared table, B index streams
+            else:
+                raise ValueError(
+                    f"quad sampling: {n_tables} tables cannot serve a "
+                    f"batch of {axis_size} streams"
+                )
+            val, ok = _sample_quad_cols(table, shape, u[b], v[b])
+            vals.append(val)
+            oks.append(ok)
+        return (jnp.stack(vals), jnp.stack(oks)), (True, True)
+
+    return sample
+
+
+def bilinear_sample_quad_cm(quad_cm, shape, u, v, lane_offset=None, stream_index=None):
+    """Bilinear sampling through the channel-major quad table: ONE column
+    gather of [32, N] brings each pixel's whole 2x2 support; the result
+    stays channel-major [8, N].  Semantics identical to
+    :func:`bilinear_sample_quad`.
+
+    ``quad_cm`` is either one [32, N] table, or — for lockstep stream
+    batching — a TUPLE of per-stream standalone tables selected by
+    ``stream_index``.  Under ``vmap`` the sampling batches through the
+    :func:`_quad_sampler` rule (full per-stream samples, unrolled — see
+    its docstring for the measured lowerings this avoids).  The
+    ``lane_offset`` flat form ([32, B*N] lane-concatenated table) remains
+    for small tables only.
+    """
+    if lane_offset is not None:
+        return _sample_quad_cols(quad_cm, shape, u, v, lane_offset)
+    if isinstance(quad_cm, (tuple, list)):
+        if stream_index is None:
+            raise ValueError("tuple quad table requires stream_index")
+        sampler = _quad_sampler(tuple(shape), len(quad_cm))
+        return sampler(tuple(quad_cm), stream_index, u, v)
+    sampler = _quad_sampler(tuple(shape), 1)
+    if stream_index is None:
+        stream_index = jnp.zeros((), jnp.int32)
+    return sampler((quad_cm,), stream_index, u, v)
 
 
 def bilinear_with_depth_buffer(intensity, depth, depth_valid, u, v, z_expected):

@@ -57,7 +57,7 @@ def _track_streams_vmapped(
     """Plain-vmap lockstep (any backend): each stream keeps its own quad
     tables, so the warp gather lowers as a BATCHED gather.  Kept as the
     oracle/fallback for non-fused backends; the fused production path is
-    :func:`_track_streams_flat`."""
+    :func:`_track_streams_tuple`."""
 
     def build(int_u8, dep_u16):
         depth, valid = convert_raw_depth(dep_u16)
@@ -96,7 +96,7 @@ def _track_streams_tuple(
     """Standalone-table lockstep: B streams advance together, but each
     stream's per-level quad table stays a SEPARATE standalone array (a
     tuple, never one stacked [B, 32, N] operand), and the vmapped solver
-    gathers through interp.gather_columns_multi, whose batching rule
+    gathers through interp._quad_sampler, whose batching rule
     unrolls one single-stream-shaped gather per table.
 
     Why: the TPU gather rate collapses superlinearly with the gathered
@@ -210,7 +210,16 @@ def _track_streams(cfg: TrackerConfig, intrinsics: Intrinsics, intensity_u8, dep
     vmap.  Under a mesh this runs INSIDE shard_map on the local batch
     (see make_multistream_tracker).
     """
-    if _resolve_backend(cfg) in ("fused", "pallas"):
+    backend = _resolve_backend(cfg)
+    if backend in ("fused", "pallas"):
+        if backend == "pallas":
+            # under stream vmap the XLA twin beats the Pallas kernel
+            # (vmapped pallas_call grid-batches at 0.40 ms/iter vs the
+            # batched XLA form's 0.19 at B=8/L1 — tools/lockstep_profile);
+            # the twin is the same math (twin-oracle tested)
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, kernel_backend="fused")
         return _track_streams_tuple(cfg, intrinsics, intensity_u8, depth_u16)
     return _track_streams_vmapped(cfg, intrinsics, intensity_u8, depth_u16)
 

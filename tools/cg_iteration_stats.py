@@ -107,10 +107,10 @@ def main():
             "cg_iterations_per_gn_step": counts,
             "chi2_before_each_step": [round(c, 6) for c in chi2s],
             "allreduces_per_gn_step_distributed": counts,
-            "schur_separators": int(struct.sep_ids.shape[0]) if struct else None,
+            "schur_separators": g._real_sep_count if struct is not None else None,
             "auto_solver": "schur" if (
                 struct is not None
-                and struct.sep_ids.shape[0] <= pg.PoseGraph.SCHUR_SEPARATOR_MAX_VERTICES
+                and g._real_sep_count <= pg.PoseGraph.SCHUR_SEPARATOR_MAX_VERTICES
             ) else "cg",
             "auto_wall_s": round(auto_s, 2),
             "auto_chi2_history": [round(float(c), 6) for c in hist],

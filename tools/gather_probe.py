@@ -40,6 +40,7 @@ def main():
             "all", "single", "flat", "sharedT", "batched",
             "sliced", "tuple", "rowmajor", "sweep", "prepped", "dualidx",
             "pcopy", "dualbar", "tuplefull", "vmapfull",
+            "tfullbar", "tfullstack", "tuplebf16",
         ],
         help="run one variant per process (tunnel compiles are slow)",
     )
@@ -210,11 +211,58 @@ def main():
         t = measure(tuplefull, tables, u_b, v_b)
         print(f"tuplefull({B} streams, unrolled bilinear): {t*1e3:7.3f} ms/iter", flush=True)
 
+    # tuplefull with an explicit optimization_barrier between the raw
+    # gather and the combine+reduce — does the barrier actually stop the
+    # slow gather-in-fusion lowering?
+    if want("tfullbar"):
+        tables = tuple(jnp.asarray(np.asarray(table_b[b])) for b in range(B))
+        sync(tables[0])
+
+        def tfullbar(i, tables, u, v):
+            outs = []
+            for b in range(B):
+                uu = jnp.clip(shift(i, u[b]), 0.0, W - 1.001)
+                vv = jnp.clip(v[b], 0.0, H - 1.001)
+                x0 = jnp.floor(uu)
+                y0 = jnp.floor(vv)
+                idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+                cols = jax.lax.optimization_barrier(tables[b][:, idx])
+                x1w = uu - x0
+                y1w = vv - y0
+                x0w = 1.0 - x1w
+                y0w = 1.0 - y1w
+                a00, a10, a01, a11 = cols[:8], cols[8:16], cols[16:24], cols[24:32]
+                val = (a00 * x0w + a10 * x1w) * y0w + (a01 * x0w + a11 * x1w) * y1w
+                ok = (a00[6] > 0.5) & (a10[6] > 0.5) & (a01[6] > 0.5) & (a11[6] > 0.5)
+                outs.append(val.sum() + ok.sum())
+            return jnp.stack(outs)
+
+        t = measure(tfullbar, tables, u_b, v_b)
+        print(f"tfullbar ({B} streams, barrier before combine): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # tuplefull consumed via STACKED full outputs (like 'tuple') but with
+    # the validity channel consumed too — isolates validity consumption
+    if want("tfullstack"):
+        tables = tuple(jnp.asarray(np.asarray(table_b[b])) for b in range(B))
+        sync(tables[0])
+
+        def tfullstack(i, tables, u, v):
+            outs, oks = [], []
+            for b in range(B):
+                out, ok = bilinear_sample_quad_cm(
+                    tables[b], (H, W), shift(i, u[b]), v[b]
+                )
+                outs.append(out)
+                oks.append(ok)
+            return jnp.stack(outs), jnp.stack(oks)
+
+        t = measure(tfullstack, tables, u_b, v_b)
+        print(f"tfullstk ({B} streams, stacked out+valid): {t*1e3:7.3f} ms/iter", flush=True)
+
     # full bilinear sampling through the PRODUCTION vmapped form:
     # vmap(bilinear_sample_quad_cm) with a closed-over tuple of standalone
     # tables + stream_index (custom_vmap unrolls only the inner gather)
     if want("vmapfull"):
-        from dvo_slam_tpu.ops.interp import gather_columns_multi  # noqa: F401
 
         tables = tuple(jnp.asarray(np.asarray(table_b[b])) for b in range(B))
         streams = jnp.arange(B, dtype=jnp.int32)
@@ -231,6 +279,29 @@ def main():
 
         t = measure(vmapfull, tables, u_b, v_b, streams)
         print(f"vmapfull ({B} streams, vmapped bilinear): {t*1e3:7.3f} ms/iter", flush=True)
+
+    # bf16 tables: is the standalone-table gather BYTE-bound (bf16 would
+    # halve it) or INDEX-bound (no change)?
+    if want("tuplebf16"):
+        tables16 = tuple(
+            jnp.asarray(np.asarray(table_b[b])).astype(jnp.bfloat16)
+            for b in range(B)
+        )
+        sync(tables16[0])
+
+        def tupled16(i, tables, u, v):
+            outs = []
+            for b in range(B):
+                uu = jnp.clip(shift(i, u[b]), 0.0, W - 1.001)
+                vv = jnp.clip(v[b], 0.0, H - 1.001)
+                idx = (
+                    vv.astype(jnp.int32) * W + uu.astype(jnp.int32)
+                )
+                outs.append(tables[b][:, idx])
+            return jnp.stack(outs)
+
+        t = measure(tupled16, tables16, u_b, v_b)
+        print(f"tuplebf16({B} streams, bf16 tables): {t*1e3:7.3f} ms/iter", flush=True)
 
     # row-major gather: [N, 32] table, gather ROWS on the major axis
     def rowmajor(i, table, u, v):

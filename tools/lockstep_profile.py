@@ -60,10 +60,13 @@ def main():
     sync = lambda out: np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     want = lambda s: args.stages in ("all", s)
 
-    # B distinct frames + a slightly-moved second set (warm-start motion)
-    poses = synthetic.circular_trajectory(2 * B, radius=0.05, rot_amplitude=0.02)
+    # B streams at consecutive trajectory steps: set A = frame b, set B =
+    # frame b+1 of the same 30 Hz circular path, so ref->cur motion (and
+    # therefore solver iteration counts) matches the real frame-to-frame
+    # engine instead of an artificial far-apart pair
+    poses = synthetic.circular_trajectory(B + 1, radius=0.05, rot_amplitude=0.02)
     ints, deps = [], []
-    for i in range(2 * B):
+    for i in range(B + 1):
         intensity, depth, valid = synthetic.render_frame(
             poses[i], TUM_FR1, shape, seed=i, depth_noise=0.002,
             intensity_noise=1.0,
@@ -72,8 +75,8 @@ def main():
         deps.append(np.where(valid, depth * 5000.0, 0).astype(np.uint16))
     iu8 = jnp.asarray(np.stack(ints[:B]))
     du16 = jnp.asarray(np.stack(deps[:B]))
-    iu8b = jnp.asarray(np.stack(ints[B:]))
-    du16b = jnp.asarray(np.stack(deps[B:]))
+    iu8b = jnp.asarray(np.stack(ints[1:]))
+    du16b = jnp.asarray(np.stack(deps[1:]))
     sync(iu8), sync(du16), sync(iu8b), sync(du16b)
 
     def _timed(run, *arrays):
@@ -282,6 +285,23 @@ def main():
         return r.transformation
 
     if want("match"):
+        # iteration counts first (max over streams = the lockstep cost)
+        def match_stats(sel, refpack, quads_all, stream, init):
+            r = matcher(sel, refpack, quads_all, stream, init)
+            return tuple(s.iterations for s in r.level_stats)
+
+        init0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+        iters = jax.jit(
+            lambda *a: jax.vmap(match_stats, in_axes=(0, 0, None, 0, 0))(*a)
+        )(sel_b, refpack_b, quads, streams, init0)
+        iters = [np.asarray(x) for x in iters]
+        print(
+            "match    per-level iterations (coarse->fine): "
+            + "  ".join(
+                f"max={int(x.max())} mean={float(x.mean()):.1f}" for x in iters
+            ),
+            flush=True,
+        )
         t = measure(match_b, sel_b, refpack_b, quads, streams)
         print(f"match    (B={B} full solve):        {t*1e3:7.3f} ms", flush=True)
 
