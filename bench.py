@@ -5,6 +5,18 @@ Runs frame-to-frame dense odometry at the TUM benchmark operating point
 mu=0.05 prior — reference: dvo_benchmark/launch/benchmark.yaml) and prints
 ONE JSON line.
 
+Crash-resilience protocol (round-3 lesson: a flaky TPU worker fault in the
+final section erased the whole round's record):
+
+  * every section runs in its own try/except — a failing section records
+    an ``error_<section>`` field and the rest still run;
+  * after EVERY section the partial result dict is flushed to
+    ``BENCH_PARTIAL.json``, so even a hard process kill leaves valid
+    parsed metrics for all completed sections;
+  * the final JSON line prints whatever completed.  Exit code is 0 only
+    if all sections ran AND the accuracy gates passed (hard-scene ATE,
+    e2e ATE/fps) — a gate failure still prints the full line first.
+
 The tracking loop is expressed TPU-natively as one ``lax.scan`` over the
 frame sequence: raw camera-format frames (u8 intensity + u16 depth, as a
 real ingest pipeline delivers them) are uploaded once, pyramids are built
@@ -16,11 +28,65 @@ Baseline: the reference runs at ~camera rate (30 Hz) on a desktop CPU
 """
 
 import argparse
-import functools
+import contextlib
 import json
+import os
+import sys
 import time
+import traceback
 
 import numpy as np
+
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_PARTIAL.json")
+
+# accuracy gates (fail the exit code, never the metric capture)
+HARD_ATE_GATE_M = 0.01      # VERDICT r3 item 5
+E2E_ATE_GATE_M = 0.005      # VERDICT r3 item 1
+E2E_FPS_GATE = 30.0         # the reference's camera-rate contract
+
+
+class Report:
+    """Accumulates metrics; flushes the partial record after every write."""
+
+    def __init__(self):
+        self.result = {}
+        self.failed = []
+
+    def set(self, **kv):
+        self.result.update(kv)
+        self.flush()
+
+    def flush(self):
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(self.result, f)
+            f.write("\n")
+
+    @contextlib.contextmanager
+    def section(self, name):
+        try:
+            yield
+        except Exception:
+            traceback.print_exc()
+            self.failed.append(name)
+            self.set(**{f"error_{name}": traceback.format_exc(limit=3).splitlines()[-1]})
+
+
+def render_sequence(poses, shape, scene=None, seed0=0):
+    from dvo_slam_tpu.ops.camera import TUM_FR1
+    from dvo_slam_tpu.utils import synthetic
+
+    n = len(poses)
+    intensity_u8 = np.zeros((n,) + shape, np.uint8)
+    depth_u16 = np.zeros((n,) + shape, np.uint16)
+    for i in range(n):
+        intensity, depth, valid = synthetic.render_frame(
+            poses[i], TUM_FR1, shape, scene=scene, seed=seed0 + i,
+            depth_noise=0.002, intensity_noise=1.0,
+        )
+        intensity_u8[i] = np.clip(intensity, 0, 255).astype(np.uint8)
+        depth_u16[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
+    return intensity_u8, depth_u16
 
 
 def main():
@@ -33,6 +99,11 @@ def main():
     ap.add_argument(
         "--streams", type=int, default=0,
         help="with --mesh: streams per batch (default mesh size)",
+    )
+    ap.add_argument(
+        "--sections", type=str, default="",
+        help="comma-separated subset of sections to run "
+        "(tracker,hard,multistream,frontend,e2e); default all",
     )
     args = ap.parse_args()
 
@@ -60,16 +131,7 @@ def main():
     num_frames = 100
 
     poses = synthetic.circular_trajectory(num_frames, radius=0.05, rot_amplitude=0.02)
-
-    # camera-native formats, as a real RGB-D ingest delivers them
-    intensity_u8 = np.zeros((num_frames,) + shape, np.uint8)
-    depth_u16 = np.zeros((num_frames,) + shape, np.uint16)
-    for i in range(num_frames):
-        intensity, depth, valid = synthetic.render_frame(
-            poses[i], TUM_FR1, shape, seed=i, depth_noise=0.002, intensity_noise=1.0
-        )
-        intensity_u8[i] = np.clip(intensity, 0, 255).astype(np.uint8)
-        depth_u16[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
+    intensity_u8, depth_u16 = render_sequence(poses, shape, seed0=0)
 
     def build(int_u8, dep_u16):
         depth, valid = convert_raw_depth(dep_u16)
@@ -141,105 +203,137 @@ def main():
         }))
         return
 
-    d_int = jnp.asarray(intensity_u8)
-    d_dep = jnp.asarray(depth_u16)
-    np.asarray(d_int[0, 0, 0])  # force the upload (block_until_ready does
-    # not actually synchronize through the sandbox's TPU relay)
+    wanted = set(filter(None, args.sections.split(",")))
 
-    # warmup: compile AND execute once for real (first post-compile
-    # execution is slow while the relay streams the executable)
-    out = track_sequence(d_int, d_dep)
-    np.asarray(out)
+    def enabled(name):
+        return not wanted or name in wanted
 
-    # distinct input buffers per rep: the relay memoizes identical
-    # (executable, inputs) executions, which would fake the timing; and a
-    # result download is the only true sync point
-    reps = 3
-    variants = [d_int.at[:, 0, k].add(np.uint8(k + 1)) for k in range(reps)]
-    for v in variants:
-        np.asarray(v[0, 0, 0])
-    t0 = time.perf_counter()
-    for vi in variants:
-        out = track_sequence(vi, d_dep)
-        np.asarray(out)
-    elapsed = (time.perf_counter() - t0) / reps
-    fps = (num_frames - 1) / elapsed
-
-    # accuracy sanity (guards against a fast-but-wrong tracker)
-    est = np.concatenate([np.eye(4)[None], np.asarray(out, np.float64)])
+    rep = Report()
+    rep.set(
+        metric="tracked_frames_per_second_per_chip",
+        unit="frames/s",
+        device=str(jax.devices()[0]),
+    )
     stamps = np.arange(num_frames) / 30.0
-    ate = trajectory.ate_rmse(stamps, est, stamps, poses)
+    variants = []
+
+    if enabled("tracker"):
+        with rep.section("tracker"):
+            d_int = jnp.asarray(intensity_u8)
+            d_dep = jnp.asarray(depth_u16)
+            np.asarray(d_int[0, 0, 0])  # force the upload (block_until_ready
+            # does not actually synchronize through the sandbox's TPU relay)
+
+            # warmup: compile AND execute once for real (first post-compile
+            # execution is slow while the relay streams the executable)
+            out = track_sequence(d_int, d_dep)
+            np.asarray(out)
+
+            # distinct input buffers per rep: the relay memoizes identical
+            # (executable, inputs) executions, which would fake the timing;
+            # and a result download is the only true sync point
+            reps = 3
+            variants = [d_int.at[:, 0, k].add(np.uint8(k + 1)) for k in range(reps)]
+            for v in variants:
+                np.asarray(v[0, 0, 0])
+            t0 = time.perf_counter()
+            for vi in variants:
+                out = track_sequence(vi, d_dep)
+                np.asarray(out)
+            elapsed = (time.perf_counter() - t0) / reps
+            fps = (num_frames - 1) / elapsed
+
+            # accuracy sanity (guards against a fast-but-wrong tracker)
+            est = np.concatenate([np.eye(4)[None], np.asarray(out, np.float64)])
+            ate = trajectory.ate_rmse(stamps, est, stamps, poses)
+            rep.set(
+                value=round(fps, 2),
+                vs_baseline=round(fps / 30.0, 2),
+                ate_rmse_m=round(float(ate), 5),
+            )
 
     # HARD-scene accuracy gate: the occluded scene (>1 m depth
     # discontinuity cutting the image) under fr1-like motion (30 cm loop
     # diameter, 0.12 rad rotation) — the gate that actually exercises the
     # occlusion rejection + depth-buffered sampling.  Same shapes as the
     # easy sequence, so the compiled tracker is reused.
-    hard_poses = synthetic.circular_trajectory(
-        num_frames, radius=0.15, rot_amplitude=0.12, z_amplitude=0.05
-    )
     hard_scene = synthetic.occluded_scene()
-    hard_i = np.zeros((num_frames,) + shape, np.uint8)
-    hard_d = np.zeros((num_frames,) + shape, np.uint16)
-    for i in range(num_frames):
-        intensity, depth, valid = synthetic.render_frame(
-            hard_poses[i], TUM_FR1, shape, scene=hard_scene, seed=1000 + i,
-            depth_noise=0.002, intensity_noise=1.0,
-        )
-        hard_i[i] = np.clip(intensity, 0, 255).astype(np.uint8)
-        hard_d[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
-    d_hi, d_hd = jnp.asarray(hard_i), jnp.asarray(hard_d)
-    np.asarray(d_hi[0, 0, 0])
-    hard_out = np.asarray(track_sequence(d_hi, d_hd), np.float64)
-    hard_est = np.concatenate([np.eye(4)[None], hard_out])
-    hard_ate = trajectory.ate_rmse(stamps, hard_est, stamps, hard_poses)
+    if enabled("hard"):
+        with rep.section("hard"):
+            hard_poses = synthetic.circular_trajectory(
+                num_frames, radius=0.15, rot_amplitude=0.12, z_amplitude=0.05
+            )
+            hard_i, hard_d = render_sequence(
+                hard_poses, shape, scene=hard_scene, seed0=1000
+            )
+            d_hi, d_hd = jnp.asarray(hard_i), jnp.asarray(hard_d)
+            np.asarray(d_hi[0, 0, 0])
+            hard_out = np.asarray(track_sequence(d_hi, d_hd), np.float64)
+            hard_est = np.concatenate([np.eye(4)[None], hard_out])
+            hard_ate = trajectory.ate_rmse(stamps, hard_est, stamps, hard_poses)
+            rep.set(ate_rmse_hard_m=round(float(hard_ate), 5))
 
     # multistream aggregate throughput on ONE chip, both schedules
     # (parallel/multistream.py): lockstep = live multi-camera serving,
     # sequential = offline batch reprocessing.  8 streams of the same
     # operating point; aggregate fps = B*(T-1)/elapsed.
-    from dvo_slam_tpu.parallel.multistream import make_multistream_tracker
+    if enabled("multistream"):
+        with rep.section("multistream"):
+            from dvo_slam_tpu.parallel.multistream import make_multistream_tracker
 
-    B = 8
-    ms_frames = 50
-    iu_b = jnp.asarray(
-        np.stack([np.roll(intensity_u8[:ms_frames], b, axis=0) for b in range(B)])
-    )
-    du_b = jnp.asarray(
-        np.stack([np.roll(depth_u16[:ms_frames], b, axis=0) for b in range(B)])
-    )
-    np.asarray(iu_b[0, 0, 0, 0])
-    multistream = {}
-    for schedule in ("lockstep", "sequential"):
-        run = make_multistream_tracker(cfg, TUM_FR1, schedule=schedule)
-        np.asarray(run(iu_b, du_b))  # compile + warm
-        ms_variants = [iu_b.at[:, :, 0, k].add(np.uint8(k + 1)) for k in range(2)]
-        for v in ms_variants:
-            np.asarray(v[0, 0, 0, 0])
-        t0 = time.perf_counter()
-        for vi in ms_variants:
-            np.asarray(run(vi, du_b))
-        ms_elapsed = (time.perf_counter() - t0) / len(ms_variants)
-        multistream[schedule] = round(B * (ms_frames - 1) / ms_elapsed, 2)
+            B = 8
+            ms_frames = 50
+            iu_b = jnp.asarray(
+                np.stack([np.roll(intensity_u8[:ms_frames], b, axis=0) for b in range(B)])
+            )
+            du_b = jnp.asarray(
+                np.stack([np.roll(depth_u16[:ms_frames], b, axis=0) for b in range(B)])
+            )
+            np.asarray(iu_b[0, 0, 0, 0])
+            for schedule in ("lockstep", "sequential"):
+                run = make_multistream_tracker(cfg, TUM_FR1, schedule=schedule)
+                np.asarray(run(iu_b, du_b))  # compile + warm
+                ms_variants = [iu_b.at[:, :, 0, k].add(np.uint8(k + 1)) for k in range(2)]
+                for v in ms_variants:
+                    np.asarray(v[0, 0, 0, 0])
+                t0 = time.perf_counter()
+                for vi in ms_variants:
+                    np.asarray(run(vi, du_b))
+                ms_elapsed = (time.perf_counter() - t0) / len(ms_variants)
+                rep.set(**{
+                    f"aggregate_fps_8stream_{schedule}":
+                        round(B * (ms_frames - 1) / ms_elapsed, 2)
+                })
 
     # full keyframe-SLAM front end (dual match + policy + keyframe switch
     # as one scanned program, models/streaming.py) on the same sequence
     from dvo_slam_tpu.config import benchmark_config as _bc
     from dvo_slam_tpu.models.streaming import StreamingSLAM
 
-    slam = StreamingSLAM(TUM_FR1, _bc())
-    force = np.zeros(num_frames, bool)
-    d_force = jnp.asarray(force)
-    init_T = jnp.eye(4, dtype=jnp.float32)
-    raw = slam._run(d_int, d_dep, d_force, init_T)
-    np.asarray(raw)  # compile + warm
-    t0 = time.perf_counter()
-    for vi in variants[:2]:
-        np.asarray(slam._run(vi, d_dep, d_force, init_T))
-    slam_fps = 2 * (num_frames - 1) / (time.perf_counter() - t0)
-    rec = np.asarray(raw)
-    slam_est = rec[:, -16:].reshape(num_frames, 4, 4).astype(np.float64)
-    slam_ate = trajectory.ate_rmse(stamps, slam_est, stamps, poses)
+    if enabled("frontend"):
+        with rep.section("frontend"):
+            slam = StreamingSLAM(TUM_FR1, _bc())
+            force = np.zeros(num_frames, bool)
+            d_force = jnp.asarray(force)
+            init_T = jnp.eye(4, dtype=jnp.float32)
+            d_int = jnp.asarray(intensity_u8)
+            d_dep = jnp.asarray(depth_u16)
+            raw = slam._run(d_int, d_dep, d_force, init_T)
+            np.asarray(raw)  # compile + warm
+            fe_variants = variants[:2] or [
+                d_int.at[:, 0, k].add(np.uint8(k + 1)) for k in range(2)
+            ]
+            t0 = time.perf_counter()
+            for vi in fe_variants:
+                np.asarray(slam._run(vi, d_dep, d_force, init_T))
+            slam_fps = len(fe_variants) * (num_frames - 1) / (time.perf_counter() - t0)
+            rec = np.asarray(raw)
+            slam_est = rec[:, -16:].reshape(num_frames, 4, 4).astype(np.float64)
+            slam_ate = trajectory.ate_rmse(stamps, slam_est, stamps, poses)
+            rep.set(
+                slam_frontend_fps=round(slam_fps, 2),
+                slam_ate_rmse_m=round(float(slam_ate), 5),
+            )
 
     # END-TO-END SLAM: front end + replayed back end (local-map optimize,
     # loop-closure search/validation waves, incremental + final
@@ -247,59 +341,60 @@ def main():
     # reference's de-facto whole-pipeline contract
     # (benchmark_slam.cpp:448-546), with its back-end phase taxonomy
     # (keyframe_graph.cpp:438-443) from the graph's PhaseTimers.
-    e2e_frames = 200
-    e2e_poses = synthetic.circular_trajectory(
-        e2e_frames, radius=0.15, rot_amplitude=0.12, z_amplitude=0.05
-    )
-    e2e_i = np.zeros((e2e_frames,) + shape, np.uint8)
-    e2e_d = np.zeros((e2e_frames,) + shape, np.uint16)
-    for i in range(e2e_frames):
-        intensity, depth, valid = synthetic.render_frame(
-            e2e_poses[i], TUM_FR1, shape, scene=hard_scene, seed=2000 + i,
-            depth_noise=0.002, intensity_noise=1.0,
-        )
-        e2e_i[i] = np.clip(intensity, 0, 255).astype(np.uint8)
-        e2e_d[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
-    e2e_stamps = np.arange(e2e_frames) / 30.0
-    # warm run: compiles the 200-frame scan + validation-wave buckets;
-    # then reset state (keeping executables) and time for real on a
-    # PERTURBED input copy (the relay memoizes repeat executions of
-    # identical (executable, inputs) — see the protocol notes above)
-    slam_e2e = StreamingSLAM(TUM_FR1, _bc())
-    slam_e2e.track_sequence(e2e_i, e2e_d, e2e_stamps)
-    slam_e2e.reset()
-    e2e_i2 = e2e_i.copy()
-    e2e_i2[:, 0, :] += 1
-    t0 = time.perf_counter()
-    slam_e2e.track_sequence(e2e_i2, e2e_d, e2e_stamps)
-    e2e_elapsed = time.perf_counter() - t0
-    e2e_fps = e2e_frames / e2e_elapsed
-    e2e_stamps_out, e2e_traj = slam_e2e.graph.trajectory()
-    e2e_ate = trajectory.ate_rmse(
-        e2e_stamps_out, e2e_traj, e2e_stamps, e2e_poses
-    )
-    phases = {
-        name: round(s["total_s"] * 1000.0 / e2e_frames, 3)
-        for name, s in slam_e2e.graph.timers.summary().items()
-    }
+    if enabled("e2e"):
+        with rep.section("e2e"):
+            e2e_frames = 200
+            e2e_poses = synthetic.circular_trajectory(
+                e2e_frames, radius=0.15, rot_amplitude=0.12, z_amplitude=0.05
+            )
+            e2e_i, e2e_d = render_sequence(
+                e2e_poses, shape, scene=hard_scene, seed0=2000
+            )
+            e2e_stamps = np.arange(e2e_frames) / 30.0
+            # warm run: compiles the 200-frame scan + validation-wave
+            # buckets; then reset state (keeping executables) and time for
+            # real on a PERTURBED input copy (the relay memoizes repeat
+            # executions of identical (executable, inputs) — see the
+            # protocol notes above)
+            slam_e2e = StreamingSLAM(TUM_FR1, _bc())
+            slam_e2e.track_sequence(e2e_i, e2e_d, e2e_stamps)
+            slam_e2e.reset()
+            e2e_i2 = e2e_i.copy()
+            e2e_i2[:, 0, :] += 1
+            t0 = time.perf_counter()
+            slam_e2e.track_sequence(e2e_i2, e2e_d, e2e_stamps)
+            e2e_elapsed = time.perf_counter() - t0
+            e2e_fps = e2e_frames / e2e_elapsed
+            e2e_stamps_out, e2e_traj = slam_e2e.graph.trajectory()
+            e2e_ate = trajectory.ate_rmse(
+                e2e_stamps_out, e2e_traj, e2e_stamps, e2e_poses
+            )
+            phases = {
+                name: round(s["total_s"] * 1000.0 / e2e_frames, 3)
+                for name, s in slam_e2e.graph.timers.summary().items()
+            }
+            rep.set(
+                slam_e2e_fps=round(e2e_fps, 2),
+                slam_e2e_ate_rmse_m=round(float(e2e_ate), 5),
+                backend_phase_ms_per_frame=phases,
+            )
 
-    result = {
-        "metric": "tracked_frames_per_second_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 2),
-        "ate_rmse_m": round(float(ate), 5),
-        "ate_rmse_hard_m": round(float(hard_ate), 5),
-        "aggregate_fps_8stream_lockstep": multistream["lockstep"],
-        "aggregate_fps_8stream_sequential": multistream["sequential"],
-        "slam_frontend_fps": round(slam_fps, 2),
-        "slam_ate_rmse_m": round(float(slam_ate), 5),
-        "slam_e2e_fps": round(e2e_fps, 2),
-        "slam_e2e_ate_rmse_m": round(float(e2e_ate), 5),
-        "backend_phase_ms_per_frame": phases,
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+    # gates: record pass/fail in the JSON, and reflect it in the exit code
+    # AFTER printing (a failed gate must never erase the metrics)
+    r = rep.result
+    gates = {}
+    if "ate_rmse_hard_m" in r:
+        gates["hard_ate_lt_10mm"] = bool(r["ate_rmse_hard_m"] < HARD_ATE_GATE_M)
+    if "slam_e2e_ate_rmse_m" in r:
+        gates["e2e_ate_lt_5mm"] = bool(r["slam_e2e_ate_rmse_m"] < E2E_ATE_GATE_M)
+    if "slam_e2e_fps" in r:
+        gates["e2e_fps_ge_30"] = bool(r["slam_e2e_fps"] >= E2E_FPS_GATE)
+    rep.set(gates=gates)
+
+    print(json.dumps(rep.result))
+    sys.stdout.flush()
+    if rep.failed or not all(gates.values()):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

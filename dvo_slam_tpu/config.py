@@ -92,6 +92,11 @@ class GraphConfig:
     """Pose-graph back end knobs (reference: dvo_slam/src/config.cpp:36-53)."""
 
     use_robust_kernel: bool = True
+    # Run the back end on a dedicated worker thread consuming a queue of
+    # completed local maps, so graph work never blocks camera-rate
+    # tracking (reference: UseMultiThreading, config.cpp:38 +
+    # keyframe_graph.cpp:401-432 — SURVEY.md 2.5 P5).
+    use_multi_threading: bool = True
     new_constraint_search_radius: float = 1.0
     new_constraint_min_entropy_ratio_coarse: float = 0.7
     new_constraint_min_entropy_ratio_fine: float = 0.9

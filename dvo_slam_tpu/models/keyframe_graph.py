@@ -49,10 +49,14 @@ class KeyframeGraph:
         intrinsics: Intrinsics,
         cfg: Optional[GraphConfig] = None,
         tracker_cfg: Optional[TrackerConfig] = None,
-        use_threading: bool = False,
+        use_threading: Optional[bool] = None,
         validator: Optional[ConstraintProposalValidator] = None,
     ):
         self.cfg = cfg or GraphConfig()
+        if use_threading is None:
+            # reference default: the optimizer thread is on
+            # (UseMultiThreading, config.cpp:38)
+            use_threading = self.cfg.use_multi_threading
         self.tracker_cfg = tracker_cfg or TrackerConfig()
         self.intrinsics = intrinsics
         # an injected validator lets a fresh graph reuse the previous
@@ -77,6 +81,7 @@ class KeyframeGraph:
         self._queue: "queue.Queue[LocalMap]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._shutdown = False
+        self._worker_error: Optional[BaseException] = None
         if use_threading:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
@@ -93,8 +98,19 @@ class KeyframeGraph:
             self._new_keyframe(local_map)
 
     def wait_for_queue(self):
+        """Block until the worker drained the queue; re-raise the FIRST
+        worker exception here (the reference's thread would die silently —
+        a deferred failure must still fail the caller)."""
         if self._thread is not None:
             self._queue.join()
+        self._raise_worker_error()
+
+    def _raise_worker_error(self):
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise RuntimeError(
+                "keyframe-graph worker failed while processing a local map"
+            ) from err
 
     def shutdown(self):
         self._shutdown = True
@@ -102,14 +118,22 @@ class KeyframeGraph:
             self._queue.put(None)
             self._thread.join(timeout=5.0)
             self._thread = None
+        self._raise_worker_error()
 
     def _worker(self):
+        """Queue consumer (reference: execOptimization thread,
+        keyframe_graph.cpp:401-432).  An exception is captured (first one
+        wins) and the loop KEEPS DRAINING — dying here would hang every
+        later wait_for_queue()."""
         while True:
             m = self._queue.get()
             try:
                 if m is None or self._shutdown:
                     return
-                self._new_keyframe(m)
+                if self._worker_error is None:
+                    self._new_keyframe(m)
+            except BaseException as e:  # surfaced at the next wait point
+                self._worker_error = e
             finally:
                 self._queue.task_done()
 
@@ -309,6 +333,7 @@ class KeyframeGraph:
     def trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
         """All graph vertices sorted by timestamp -> (stamps, poses [N,4,4])
         (reference: TrajectorySerializer, map_serializer.cpp:44-65)."""
+        self.wait_for_queue()  # a busy worker is still mutating the graph
         items = []
         for key in self.graph.vertex_keys():
             ts = self.timestamps.get(key)
@@ -324,5 +349,6 @@ class KeyframeGraph:
     def edge_errors(self):
         """Per-edge diagnostics dump (reference: EdgeErrorSerializer,
         map_serializer.cpp:76-93)."""
+        self.wait_for_queue()
         w, chi2 = self.graph.edge_diagnostics()
         return w, chi2

@@ -37,11 +37,15 @@ class KeyframeTracker:
         self,
         intrinsics: Intrinsics,
         cfg: Optional[SlamConfig] = None,
-        use_threading: bool = False,
+        use_threading: Optional[bool] = None,
+        graph: Optional[KeyframeGraph] = None,
     ):
+        """``graph``: attach an existing back end instead of creating one —
+        the checkpoint-resume workflow (utils/serialization.py) restores a
+        KeyframeGraph mid-sequence and continues tracking through it."""
         self.cfg = cfg or SlamConfig()
         self.intrinsics = intrinsics
-        self.graph = KeyframeGraph(
+        self.graph = graph if graph is not None else KeyframeGraph(
             intrinsics, self.cfg.graph, self.cfg.tracker, use_threading=use_threading
         )
         self.lt = LocalTracker(intrinsics, self.cfg.tracker)
@@ -149,6 +153,10 @@ class KeyframeTracker:
         from .frames import BatchedMatcher
         from .constraints import ConstraintProposalValidator
 
+        # drain the optimizer thread before swapping its validator (the
+        # reference locks reconfiguration against the running tracker,
+        # camera_dense_tracking.cpp:135-156)
+        self.graph.wait_for_queue()
         self.cfg = dataclasses.replace(self.cfg, tracker=tracker_cfg)
         self.lt.cfg = tracker_cfg
         self.lt.matcher = BatchedMatcher(tracker_cfg, self.intrinsics)
@@ -167,6 +175,7 @@ class KeyframeTracker:
 
         from .constraints import ConstraintProposalValidator
 
+        self.graph.wait_for_queue()
         self.cfg = dataclasses.replace(self.cfg, graph=graph_cfg)
         self.graph.cfg = graph_cfg
         self.graph.validator = ConstraintProposalValidator(

@@ -84,48 +84,88 @@ def checkpoint_extra(path: str) -> dict:
 
 
 def save_keyframe_graph(path: str, kg: KeyframeGraph):
-    """Checkpoint the global SLAM back-end state (graph + keyframe records
-    + vertex timestamps)."""
+    """Checkpoint the global SLAM back-end state: graph, keyframe records
+    (with their evaluation running statistics), vertex timestamps, and the
+    pending-promotion state that lets keyframe insertion CONTINUE after a
+    restore (keyframe_graph.py: _pending_* is the next map's anchor)."""
+    from ..models.evaluation import evaluation_state
+
+    kg.wait_for_queue()  # the optimizer worker may still be mutating state
     extra = {
         "timestamps": {_encode_key(k): float(v) for k, v in kg.timestamps.items()},
         "keyframes": [
-            {"id": k.id, "timestamp": k.timestamp, "pose": np.asarray(k.pose).tolist()}
+            {
+                "id": k.id,
+                "timestamp": k.timestamp,
+                "pose": np.asarray(k.pose).tolist(),
+                "evaluation": evaluation_state(k.evaluation),
+            }
             for k in kg.keyframes
         ],
         "frame_counter": kg._frame_counter,
         "existing_constraints": [sorted(p) for p in kg._existing_constraints],
+        "pending": None
+        if kg._pending_key is None
+        else {
+            "key": _encode_key(kg._pending_key),
+            "edge": kg._pending_edge,
+            "meas": np.asarray(kg._pending_meas).tolist(),
+        },
     }
     save_pose_graph(path, kg.graph, extra)
 
 
-def load_keyframe_graph_state(path: str, kg: KeyframeGraph):
+class _NoFrame:
+    """Timestamp-only frame placeholder for restored keyframes whose
+    pyramids were not re-attached (pass frame_provider to rebuild them)."""
+
+    __slots__ = ("timestamp", "levels")
+
+    def __init__(self, ts):
+        self.timestamp = ts
+        self.levels = None
+
+
+def load_keyframe_graph_state(path: str, kg: KeyframeGraph, frame_provider=None):
     """Restore graph + bookkeeping into a fresh KeyframeGraph.
 
-    Keyframe records come back without image pyramids (poses + ids +
-    timestamps only) — enough to continue optimization, export
-    trajectories, or re-anchor; re-attach frames from the dataset for
-    further dense loop validation.
+    ``frame_provider``: optional ``timestamp -> Frame`` callback that
+    re-derives each keyframe's image pyramid from the dataset (pyramids
+    are not checkpointed — they dominate size and are re-renderable).
+    With frames attached the restored graph supports the FULL workflow:
+    continued keyframe insertion (pending-promotion state is restored),
+    loop-closure re-search + dense re-validation, and final optimization.
+    Without it, keyframes carry timestamp-only placeholders — enough to
+    continue optimization, export trajectories, or re-anchor.
     """
+    from ..models.evaluation import RestoredEvaluation
     from ..models.frames import Keyframe
 
+    kg.wait_for_queue()
     kg.graph = load_pose_graph(path)
     extra = checkpoint_extra(path)
     kg.timestamps = {_decode_key(k): v for k, v in extra["timestamps"].items()}
     kg._frame_counter = extra["frame_counter"]
     kg._existing_constraints = {frozenset(p) for p in extra["existing_constraints"]}
+    pending = extra.get("pending")
+    if pending is not None:
+        kg._pending_key = _decode_key(pending["key"])
+        kg._pending_edge = pending["edge"]
+        kg._pending_meas = np.asarray(pending["meas"], np.float64)
     kg.keyframes = []
     for rec in extra["keyframes"]:
-
-        class _NoFrame:
-            def __init__(self, ts):
-                self.timestamp = ts
-                self.levels = None
-
+        frame = (
+            frame_provider(rec["timestamp"])
+            if frame_provider is not None
+            else _NoFrame(rec["timestamp"])
+        )
+        ev = rec.get("evaluation")
         kg.keyframes.append(
             Keyframe(
                 id=rec["id"],
-                frame=_NoFrame(rec["timestamp"]),
+                frame=frame,
                 pose=np.asarray(rec["pose"]),
+                evaluation=None if ev is None else RestoredEvaluation(ev),
             )
         )
     return kg

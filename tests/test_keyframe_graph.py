@@ -111,7 +111,44 @@ def test_threaded_backend_matches_synchronous():
     kt_thr = _run(poses, use_threading=True, finish=False)
     kt_thr.graph.wait_for_queue()
     assert len(kt_thr.graph.keyframes) == len(kt_sync.graph.keyframes)
+    # the worker serializes the same work: trajectories are bit-identical
+    s1, p1 = kt_sync.graph.trajectory()
+    s2, p2 = kt_thr.graph.trajectory()
+    np.testing.assert_allclose(s1, s2)
+    np.testing.assert_allclose(p1, p2)
     kt_thr.graph.shutdown()
+
+
+def test_threading_default_follows_config():
+    """The optimizer thread is ON by default (reference UseMultiThreading,
+    config.cpp:38) and off when the config disables it."""
+    from dvo_slam_tpu.models.keyframe_graph import KeyframeGraph
+
+    kg = KeyframeGraph(K, GraphConfig(), TrackerConfig())
+    assert kg._thread is not None
+    kg.shutdown()
+    kg2 = KeyframeGraph(
+        K, GraphConfig(use_multi_threading=False), TrackerConfig()
+    )
+    assert kg2._thread is None
+
+
+def test_worker_exception_surfaces_and_keeps_draining():
+    """A failing local map must not kill the worker: the first error
+    surfaces at the next wait point (wait_for_queue / shutdown) and later
+    queue items still drain — a dead worker would hang wait_for_queue
+    forever (the reference's thread would die silently,
+    keyframe_graph.cpp:401-432)."""
+    from dvo_slam_tpu.models.keyframe_graph import KeyframeGraph
+
+    kg = KeyframeGraph(K, GraphConfig(), TrackerConfig(), use_threading=True)
+    kg.add(object())  # poison: not a LocalMap -> worker raises
+    kg.add(object())  # must still be drained after the failure
+    with pytest.raises(RuntimeError, match="worker failed"):
+        kg.wait_for_queue()
+    # error reported exactly once; the queue drained and remains usable
+    kg.wait_for_queue()
+    kg.shutdown()
 
 
 @pytest.mark.slow
@@ -152,3 +189,67 @@ def test_final_optimization_runs_full_schedule():
         )
         == 1
     )
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_full_workflow(tmp_path):
+    """The complete interrupt/resume story (new capability over the
+    reference, which has no checkpointing — SURVEY.md section 5): save
+    mid-sequence, restore into a FRESH back end with keyframe frames
+    re-attached from the dataset, continue tracking the remaining frames
+    through a new front end, then loop-close + final-optimize — the
+    resumed trajectory must cover every frame and match ground truth like
+    the uninterrupted run does."""
+    from dvo_slam_tpu.models.keyframe_graph import KeyframeGraph
+
+    n = 16
+    poses = synthetic.circular_trajectory(n, radius=0.08, rot_amplitude=0.03)
+    gt_stamps = np.arange(n) / 30.0
+
+    def frame_at(ts):
+        i = int(round(ts * 30.0))
+        i_, d_, v_ = synthetic.render_frame(poses[i], K, SHAPE, seed=i)
+        return Frame.from_arrays(i_, d_, v_, ts, CFG.tracker.num_levels)
+
+    # uninterrupted reference run
+    kt_full = _run(poses)
+    s_full, p_full = kt_full.trajectory()
+    ate_full = trajectory.ate_rmse(s_full, p_full, gt_stamps, poses)
+
+    # interrupted run: first half, checkpoint WITHOUT finishing
+    split = 9
+    kt_a = _run(poses[:split], finish=False)
+    path = str(tmp_path / "mid.npz")
+    serialization.save_keyframe_graph(path, kt_a.graph)
+
+    # restore into a fresh back end, re-attaching frames from the dataset
+    restored = KeyframeGraph(K, CFG.graph, CFG.tracker)
+    serialization.load_keyframe_graph_state(path, restored, frame_provider=frame_at)
+    for k in restored.keyframes:
+        assert k.frame.levels is not None  # real pyramids, not placeholders
+        assert k.evaluation is not None  # running stats survived
+        assert k.evaluation.ratio_with_first  # voter interface intact
+    assert restored._pending_key is not None  # insertion can continue
+
+    # continue tracking through a new front end wired to the restored
+    # graph.  The checkpoint covers COMPLETED local maps only; the resume
+    # point is the pending vertex's frame (the last frame in the graph) —
+    # frames of the interrupted in-flight local map are re-tracked.
+    kt_b = KeyframeTracker(K, CFG, graph=restored)
+    resume_ts = restored.timestamps[restored._pending_key]
+    resume_i = int(round(resume_ts * 30.0))
+    resume_pose = restored.graph.vertex_pose(restored._pending_key)
+    kt_b.init(resume_pose)
+    for i in range(resume_i, n):
+        kt_b.update(frame_at(i / 30.0))
+    kt_b.force_keyframe()
+    kt_b.finish()  # re-searches constraints over RESTORED keyframes too
+
+    s_res, p_res = kt_b.trajectory()
+    # every frame covered exactly once (the resumed map's keyframe is the
+    # pending vertex's frame, renamed — no duplicate timestamp)
+    assert len(np.unique(np.round(s_res * 30.0))) == n
+    ate_res = trajectory.ate_rmse(s_res, p_res, gt_stamps, poses)
+    assert ate_res < 0.01, (ate_res, ate_full)
+    # and the resumed accuracy is in the same class as uninterrupted
+    assert ate_res < max(2.5 * ate_full, 0.005), (ate_res, ate_full)

@@ -157,6 +157,7 @@ def test_keyframe_switching_linear_path():
         16, step=np.array([0.02, 0.0, 0.0]), rot_step=np.zeros(3)
     )
     kt, est = _run_slam(poses, finish=False)
+    kt.graph.wait_for_queue()  # the back end runs on a worker thread
     # 16 frames x 2cm = 30 cm of travel with 8 cm keyframe distance
     assert len(kt.graph.keyframes) >= 2
     err = np.linalg.norm(est[-1][:3, 3] - poses[-1][:3, 3])
@@ -193,9 +194,11 @@ def test_forced_keyframe():
     kt.init()
     for i, pose in enumerate(poses[:4]):
         kt.update(_frame(pose, i / 30.0))
+    kt.graph.wait_for_queue()  # the back end runs on a worker thread
     n_before = len(kt.graph.keyframes)
     kt.force_keyframe()
     kt.update(_frame(poses[4], 4 / 30.0))
+    kt.graph.wait_for_queue()
     assert len(kt.graph.keyframes) == n_before + 1
 
 
