@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TrackerConfig
+from ..ops import interp
 from ..ops.camera import Intrinsics
 from ..ops.pyramid import PyramidLevel, build_pyramid
 from .dense_tracker import (
@@ -269,7 +270,7 @@ class BatchedMatcher:
         else:
             quads = None
         cur_b = jax.tree.map(lambda *xs: jnp.stack(xs), *curs)
-        streams = jnp.arange(bucket, dtype=jnp.int32)
+        streams = interp.lockstep_stream_indices(bucket)
         init_b = jnp.asarray(np.stack(inits))
         flat = np.asarray(
             self._fn(bucket)(ref_b, cur_b, quads, streams, init_b)

@@ -65,13 +65,17 @@ def _gather_columns_vmap(axis_size, in_batched, table, idx):
     return table[:, :, idx], True
 
 
-def bilinear_sample_accel(accel, u, v):
+def bilinear_sample_accel(accel, u, v, z_expected=None):
     """Sample the [H, W, 8] acceleration tensor at float coords (u, v) [N].
 
     Returns ``(values [N, 8], valid [N])``.  Bounds follow the reference's
     ``inImage(x, y) && inImage(x+1, y+1)`` test
     (dense_tracking_impl.cpp:78), i.e. 0 <= u < W-1 and 0 <= v < H-1 so the
     2x2 support is fully inside the image.
+
+    With ``z_expected`` [N] the sample is depth-buffered (the reference's
+    5 cm rule, interpolation.cpp:55-110 — see :func:`_sample_quad_cols`);
+    this is the XLA-oracle twin of the fused quad path's form.
     """
     h, w, c = accel.shape
     in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
@@ -96,17 +100,31 @@ def bilinear_sample_accel(accel, u, v):
     a01 = flat[y1i * w + x0i]
     a11 = flat[y1i * w + x1i]
 
-    values = (a00 * x0w[:, None] + a10 * x1w[:, None]) * y0w[:, None] + (
-        a01 * x0w[:, None] + a11 * x1w[:, None]
-    ) * y1w[:, None]
+    if z_expected is None:
+        values = (a00 * x0w[:, None] + a10 * x1w[:, None]) * y0w[:, None] + (
+            a01 * x0w[:, None] + a11 * x1w[:, None]
+        ) * y1w[:, None]
 
-    neighbors_valid = (
-        (a00[:, VALID_CHANNEL] > 0.5)
-        & (a10[:, VALID_CHANNEL] > 0.5)
-        & (a01[:, VALID_CHANNEL] > 0.5)
-        & (a11[:, VALID_CHANNEL] > 0.5)
-    )
-    return values, in_bounds & neighbors_valid
+        neighbors_valid = (
+            (a00[:, VALID_CHANNEL] > 0.5)
+            & (a10[:, VALID_CHANNEL] > 0.5)
+            & (a01[:, VALID_CHANNEL] > 0.5)
+            & (a11[:, VALID_CHANNEL] > 0.5)
+        )
+        return values, in_bounds & neighbors_valid
+
+    z_eps = z_expected - DEPTH_BUFFER_M
+    keep = lambda a: (a[:, VALID_CHANNEL] > 0.5) & (a[:, 1] > z_eps)
+    w00 = x0w * y0w * keep(a00)
+    w10 = x1w * y0w * keep(a10)
+    w01 = x0w * y1w * keep(a01)
+    w11 = x1w * y1w * keep(a11)
+    wsum = w00 + w10 + w01 + w11
+    values = (
+        a00 * w00[:, None] + a10 * w10[:, None]
+        + a01 * w01[:, None] + a11 * w11[:, None]
+    ) / jnp.maximum(wsum, 1e-6)[:, None]
+    return values, in_bounds & (wsum > 1e-6)
 
 
 def build_quad_table(accel):
@@ -127,11 +145,11 @@ def build_quad_table(accel):
     return jnp.concatenate([flat, right, down, down_right], axis=1)
 
 
-def bilinear_sample_quad(quad, shape, u, v):
+def bilinear_sample_quad(quad, shape, u, v, z_expected=None):
     """Bilinear sampling through the quad table (one gather per pixel).
 
     ``shape`` is the source image (H, W); semantics identical to
-    :func:`bilinear_sample_accel`.
+    :func:`bilinear_sample_accel` (incl. the optional depth buffer).
     """
     h, w = shape
     in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
@@ -149,17 +167,31 @@ def bilinear_sample_quad(quad, shape, u, v):
     rows = quad[jnp.clip(idx, 0, quad.shape[0] - 1)]  # [N, 32]
     a00, a10, a01, a11 = rows[:, :8], rows[:, 8:16], rows[:, 16:24], rows[:, 24:32]
 
-    values = (a00 * x0w[:, None] + a10 * x1w[:, None]) * y0w[:, None] + (
-        a01 * x0w[:, None] + a11 * x1w[:, None]
-    ) * y1w[:, None]
+    if z_expected is None:
+        values = (a00 * x0w[:, None] + a10 * x1w[:, None]) * y0w[:, None] + (
+            a01 * x0w[:, None] + a11 * x1w[:, None]
+        ) * y1w[:, None]
 
-    neighbors_valid = (
-        (a00[:, VALID_CHANNEL] > 0.5)
-        & (a10[:, VALID_CHANNEL] > 0.5)
-        & (a01[:, VALID_CHANNEL] > 0.5)
-        & (a11[:, VALID_CHANNEL] > 0.5)
-    )
-    return values, in_bounds & neighbors_valid
+        neighbors_valid = (
+            (a00[:, VALID_CHANNEL] > 0.5)
+            & (a10[:, VALID_CHANNEL] > 0.5)
+            & (a01[:, VALID_CHANNEL] > 0.5)
+            & (a11[:, VALID_CHANNEL] > 0.5)
+        )
+        return values, in_bounds & neighbors_valid
+
+    z_eps = z_expected - DEPTH_BUFFER_M
+    keep = lambda a: (a[:, VALID_CHANNEL] > 0.5) & (a[:, 1] > z_eps)
+    w00 = x0w * y0w * keep(a00)
+    w10 = x1w * y0w * keep(a10)
+    w01 = x0w * y1w * keep(a01)
+    w11 = x1w * y1w * keep(a11)
+    wsum = w00 + w10 + w01 + w11
+    values = (
+        a00 * w00[:, None] + a10 * w10[:, None]
+        + a01 * w01[:, None] + a11 * w11[:, None]
+    ) / jnp.maximum(wsum, 1e-6)[:, None]
+    return values, in_bounds & (wsum > 1e-6)
 
 
 def build_quad_table_cm(accel_cm, width: int):
@@ -176,10 +208,27 @@ def build_quad_table_cm(accel_cm, width: int):
     return jnp.concatenate([accel_cm, right, down, down_right], axis=0)
 
 
-def _sample_quad_cols(quad_cm, shape, u, v, lane_offset=None):
+DEPTH_BUFFER_M = 0.05  # reference: interpolation.cpp:71 (z_eps = z - 0.05)
+
+
+def _sample_quad_cols(quad_cm, shape, u, v, z_expected=None, lane_offset=None):
     """Unbatched full bilinear sample through ONE [32, N] quad table —
     the shared math of every quad-sampling form (gather + combine +
-    validity; semantics of :func:`bilinear_sample_quad`)."""
+    validity; semantics of :func:`bilinear_sample_quad`).
+
+    With ``z_expected`` the sample is DEPTH-BUFFERED (the reference's
+    5 cm rule, interpolation.cpp:55-110): a 2x2 neighbor contributes only
+    if it is valid and its depth is not more than 5 cm in FRONT of the
+    expected depth, with weights renormalized over the contributors — so
+    a foreground occluder never blends into a background sample at a
+    depth discontinuity.  The reference applies this only in its scalar/
+    SSE warp kernels (rgbd_image_sse.cpp:51-108), NOT in the hot
+    residual kernel (dense_tracking_impl.cpp:84-106 is plain bilinear);
+    here the quad row already carries all four neighbor depths in
+    registers, so the hot path gets the rule for free — measured on the
+    occluded synthetic scene it cuts odometry ATE ~3x (BASELINE.md).
+    When all four neighbors contribute the weights sum to 1 and the
+    result is bit-identical to plain bilinear."""
     h, w = shape
     in_bounds = (u >= 0.0) & (u < w - 1) & (v >= 0.0) & (v < h - 1)
 
@@ -199,19 +248,31 @@ def _sample_quad_cols(quad_cm, shape, u, v, lane_offset=None):
     cols = quad_cm[:, idx]  # [32, N]
     a00, a10, a01, a11 = cols[:8], cols[8:16], cols[16:24], cols[24:32]
 
-    values = (a00 * x0w + a10 * x1w) * y0w + (a01 * x0w + a11 * x1w) * y1w
+    if z_expected is None:
+        values = (a00 * x0w + a10 * x1w) * y0w + (a01 * x0w + a11 * x1w) * y1w
+        neighbors_valid = (
+            (a00[VALID_CHANNEL] > 0.5)
+            & (a10[VALID_CHANNEL] > 0.5)
+            & (a01[VALID_CHANNEL] > 0.5)
+            & (a11[VALID_CHANNEL] > 0.5)
+        )
+        return values, in_bounds & neighbors_valid
 
-    neighbors_valid = (
-        (a00[VALID_CHANNEL] > 0.5)
-        & (a10[VALID_CHANNEL] > 0.5)
-        & (a01[VALID_CHANNEL] > 0.5)
-        & (a11[VALID_CHANNEL] > 0.5)
+    z_eps = z_expected - DEPTH_BUFFER_M
+    keep = lambda a: (a[VALID_CHANNEL] > 0.5) & (a[1] > z_eps)
+    w00 = x0w * y0w * keep(a00)
+    w10 = x1w * y0w * keep(a10)
+    w01 = x0w * y1w * keep(a01)
+    w11 = x1w * y1w * keep(a11)
+    wsum = w00 + w10 + w01 + w11
+    values = (a00 * w00 + a10 * w10 + a01 * w01 + a11 * w11) / jnp.maximum(
+        wsum, 1e-6
     )
-    return values, in_bounds & neighbors_valid
+    return values, in_bounds & (wsum > 1e-6)
 
 
 @functools.lru_cache(maxsize=None)
-def _quad_sampler(shape, n_tables: int):
+def _quad_sampler(shape, n_tables: int, use_z: bool = False):
     """custom_vmap'd full quad sampling: (tables, stream, u, v) ->
     (values [8, N], valid [N]).
 
@@ -235,43 +296,54 @@ def _quad_sampler(shape, n_tables: int):
 
     CONTRACT: with n_tables == axis_size the vmapped axis must iterate the
     tables in tuple order (``stream`` must be ``arange`` along the batch
-    axis) — the rule cannot inspect the traced stream values.
+    axis) — the rule cannot inspect the traced stream values.  Callers
+    build that axis with :func:`lockstep_stream_indices`, the one
+    sanctioned construction site; the rule additionally rejects an
+    UNBATCHED stream against per-stream tables (a guaranteed violation).
     """
 
     @jax.custom_batching.custom_vmap
-    def sample(tables, stream, u, v):
+    def sample(tables, stream, u, v, z):
+        # use_z is static: without it z is a dummy operand and the math is
+        # bit-identical to the plain (all-4-valid) bilinear form
+        zz = z if use_z else None
         if n_tables == 1:
-            values, valid = _sample_quad_cols(tables[0], shape, u, v)
+            values, valid = _sample_quad_cols(tables[0], shape, u, v, zz)
         else:
             values, valid = jax.lax.switch(
                 stream,
                 [
-                    functools.partial(_sample_quad_cols, t, shape)
+                    functools.partial(
+                        _one_table_sample, t, shape, use_z
+                    )
                     for t in tables
                 ],
                 u,
                 v,
+                z,
             )
         return values, valid
 
     @sample.def_vmap
-    def _rule(axis_size, in_batched, tables, stream, u, v):
+    def _rule(axis_size, in_batched, tables, stream, u, v, z):
         tables_b = any(jax.tree.leaves(in_batched[0]))
-        _, _, u_b, v_b = (
-            in_batched[0],
-            in_batched[1],
-            in_batched[2],
-            in_batched[3],
-        )
-        if not (u_b and v_b):
+        u_b, v_b, z_b = in_batched[2], in_batched[3], in_batched[4]
+        if not (u_b and v_b and z_b):
             raise NotImplementedError(
-                "quad sampling: u and v must be batched together"
+                "quad sampling: u, v and z must be batched together"
             )
         vals, oks = [], []
         for b in range(axis_size):
             if tables_b:
                 table = tables[0][b]  # stacked [B, 32, N] (wave batching)
             elif n_tables == axis_size:
+                if not in_batched[1]:
+                    raise ValueError(
+                        "quad sampling: per-stream standalone tables need "
+                        "the stream axis batched in lockstep "
+                        "(lockstep_stream_indices) — an unbatched stream "
+                        "cannot iterate the table tuple"
+                    )
                 table = tables[b]  # per-stream standalone tables
             elif n_tables == 1:
                 table = tables[0]  # one shared table, B index streams
@@ -280,7 +352,9 @@ def _quad_sampler(shape, n_tables: int):
                     f"quad sampling: {n_tables} tables cannot serve a "
                     f"batch of {axis_size} streams"
                 )
-            val, ok = _sample_quad_cols(table, shape, u[b], v[b])
+            val, ok = _sample_quad_cols(
+                table, shape, u[b], v[b], z[b] if use_z else None
+            )
             vals.append(val)
             oks.append(ok)
         return (jnp.stack(vals), jnp.stack(oks)), (True, True)
@@ -288,11 +362,32 @@ def _quad_sampler(shape, n_tables: int):
     return sample
 
 
-def bilinear_sample_quad_cm(quad_cm, shape, u, v, lane_offset=None, stream_index=None):
+def _one_table_sample(table, shape, use_z, u, v, z):
+    """lax.switch branch body: one standalone-table sample (uniform
+    (u, v, z) arity; z ignored unless the sampler was built with use_z)."""
+    return _sample_quad_cols(table, shape, u, v, z if use_z else None)
+
+
+def lockstep_stream_indices(n: int) -> jnp.ndarray:
+    """The sanctioned stream axis for standalone-table lockstep sampling.
+
+    :func:`_quad_sampler`'s batching rule selects standalone tables
+    POSITIONALLY (``tables[b]``) — it cannot inspect traced stream values
+    — so the vmapped stream axis MUST be ``arange(n)`` in table-tuple
+    order.  Building it here gives the contract one construction site per
+    caller instead of a docstring-only promise: a permuted or gathered
+    stream axis would silently sample the wrong tables.
+    """
+    return jnp.arange(n, dtype=jnp.int32)
+
+
+def bilinear_sample_quad_cm(quad_cm, shape, u, v, z_expected=None,
+                            lane_offset=None, stream_index=None):
     """Bilinear sampling through the channel-major quad table: ONE column
     gather of [32, N] brings each pixel's whole 2x2 support; the result
     stays channel-major [8, N].  Semantics identical to
-    :func:`bilinear_sample_quad`.
+    :func:`bilinear_sample_quad`, depth-buffered when ``z_expected`` is
+    given (see :func:`_sample_quad_cols`).
 
     ``quad_cm`` is either one [32, N] table, or — for lockstep stream
     batching — a TUPLE of per-stream standalone tables selected by
@@ -303,16 +398,20 @@ def bilinear_sample_quad_cm(quad_cm, shape, u, v, lane_offset=None, stream_index
     for small tables only.
     """
     if lane_offset is not None:
-        return _sample_quad_cols(quad_cm, shape, u, v, lane_offset)
+        return _sample_quad_cols(quad_cm, shape, u, v, z_expected, lane_offset)
+    use_z = z_expected is not None
+    if not use_z:
+        # uniform sampler arity: a dummy z operand, statically ignored
+        z_expected = jnp.zeros_like(u)
     if isinstance(quad_cm, (tuple, list)):
         if stream_index is None:
             raise ValueError("tuple quad table requires stream_index")
-        sampler = _quad_sampler(tuple(shape), len(quad_cm))
-        return sampler(tuple(quad_cm), stream_index, u, v)
-    sampler = _quad_sampler(tuple(shape), 1)
+        sampler = _quad_sampler(tuple(shape), len(quad_cm), use_z)
+        return sampler(tuple(quad_cm), stream_index, u, v, z_expected)
+    sampler = _quad_sampler(tuple(shape), 1, use_z)
     if stream_index is None:
         stream_index = jnp.zeros((), jnp.int32)
-    return sampler((quad_cm,), stream_index, u, v)
+    return sampler((quad_cm,), stream_index, u, v, z_expected)
 
 
 def bilinear_with_depth_buffer(intensity, depth, depth_valid, u, v, z_expected):

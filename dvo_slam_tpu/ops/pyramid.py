@@ -83,9 +83,25 @@ def central_diff_y(img):
     return 0.5 * (padded[2:, :] - padded[:-2, :])
 
 
-def _masked_central_diff(depth, valid):
+# A depth central-difference larger than this (meters per pixel) spans a
+# DISCONTINUITY, not a surface: the "derivative" is the depth gap between
+# two different objects and poisons the geometric Jacobian J_Z = dZ . Jw
+# (residuals.py) with normal-weighted garbage for every point adjacent to
+# an occlusion edge.  The reference keeps such points (its selection
+# predicate only requires FINITE zdx/zdy, point_selection.h:49-67, and
+# even selects on large depth gradient) — measured on the occluded
+# synthetic scene this gate alone cuts odometry ATE ~10x
+# (0.0186 -> 0.0018 m, tools/hard_ate_probe.py; BASELINE.md).  At
+# 0.3 m/px a real surface would be inclined ~89.8 deg from fronto-
+# parallel at 640x480 TUM intrinsics — only discontinuities qualify.
+MAX_DEPTH_DERIVATIVE_M = 0.3
+
+
+def _masked_central_diff(depth, valid, max_derivative=MAX_DEPTH_DERIVATIVE_M):
     """Depth derivatives with NaN-propagation semantics made explicit:
-    a derivative is valid only if both clamped neighbors are valid."""
+    a derivative is valid only if both clamped neighbors are valid AND
+    the difference does not span a depth discontinuity (see
+    MAX_DEPTH_DERIVATIVE_M; pass 0 to disable the gate)."""
     px = jnp.pad(depth, ((0, 0), (1, 1)), mode="edge")
     vx = jnp.pad(valid, ((0, 0), (1, 1)), mode="edge")
     zdx = 0.5 * (px[:, 2:] - px[:, :-2])
@@ -94,6 +110,9 @@ def _masked_central_diff(depth, valid):
     vy = jnp.pad(valid, ((1, 1), (0, 0)), mode="edge")
     zdy = 0.5 * (py[2:, :] - py[:-2, :])
     zdy_valid = vy[2:, :] & vy[:-2, :]
+    if max_derivative > 0:
+        zdx_valid &= jnp.abs(zdx) <= max_derivative
+        zdy_valid &= jnp.abs(zdy) <= max_derivative
     zdx = jnp.where(zdx_valid, zdx, 0.0)
     zdy = jnp.where(zdy_valid, zdy, 0.0)
     return zdx, zdy, zdx_valid & zdy_valid
@@ -159,13 +178,19 @@ def downsample_depth(depth, valid):
     return depth_d, valid_d
 
 
-def make_level(intensity, depth, valid) -> PyramidLevel:
+def make_level(
+    intensity, depth, valid,
+    max_depth_derivative: float = MAX_DEPTH_DERIVATIVE_M,
+) -> PyramidLevel:
     """Assemble one pyramid level: derivatives + validity masks.
 
     Replaces RgbdImage::calculateDerivatives + the validity bookkeeping the
     reference encodes as NaNs (rgbd_image.cpp:404-417).
+    ``max_depth_derivative`` gates discontinuity-spanning depth
+    derivatives (MAX_DEPTH_DERIVATIVE_M; 0 disables — the reference's
+    exact finite-only behavior).
     """
-    zdx, zdy, deriv_valid = _masked_central_diff(depth, valid)
+    zdx, zdy, deriv_valid = _masked_central_diff(depth, valid, max_depth_derivative)
     return PyramidLevel(
         intensity=intensity,
         depth=depth,

@@ -119,9 +119,9 @@ def warp_and_sample(
     u = p_t[:, 0] / z_safe * intrinsics.fx + intrinsics.ox
     v = p_t[:, 1] / z_safe * intrinsics.fy + intrinsics.oy
     if quad is not None:
-        sampled, sample_valid = bilinear_sample_quad(quad, (h, w), u, v)
+        sampled, sample_valid = bilinear_sample_quad(quad, (h, w), u, v, z_t)
     else:
-        sampled, sample_valid = bilinear_sample_accel(cur_accel, u, v)
+        sampled, sample_valid = bilinear_sample_accel(cur_accel, u, v, z_t)
     validity = sample_valid & (z_t > 1e-12)
     sampled = sampled.at[:, 6].set(validity.astype(sampled.dtype))
     return sampled, z_t, points
@@ -144,6 +144,11 @@ def warp_and_sample_cm(
     stays pixels-on-lanes.  Returns ``sampled [8, N]`` with channel 6 the
     combined bounds+neighbor validity and channel 7 the transformed depth
     z' (ready for the fused partials kernel).
+
+    The sample is DEPTH-BUFFERED against the transformed depth z' (the
+    reference's 5 cm rule, interpolation.cpp:55-110 — see
+    interp._sample_quad_cols for why the hot path gets it for free here
+    while the reference's residual kernel does not).
     """
     from .interp import bilinear_sample_quad_cm
 
@@ -157,7 +162,8 @@ def warp_and_sample_cm(
     u = p_x / z_safe * intrinsics.fx + intrinsics.ox
     v = p_y / z_safe * intrinsics.fy + intrinsics.oy
     sampled, sample_valid = bilinear_sample_quad_cm(
-        quad_cm, shape, u, v, lane_offset=lane_offset, stream_index=stream_index
+        quad_cm, shape, u, v, z_expected=z_t,
+        lane_offset=lane_offset, stream_index=stream_index,
     )
     validity = sample_valid & (z_t > 1e-12)
     sampled = sampled.at[6].set(validity.astype(sampled.dtype))
@@ -190,7 +196,7 @@ def compute_residuals(
     u = p_t[:, 0] / z_safe * intrinsics.fx + intrinsics.ox
     v = p_t[:, 1] / z_safe * intrinsics.fy + intrinsics.oy
 
-    sampled, sample_valid = bilinear_sample_accel(cur_accel, u, v)
+    sampled, sample_valid = bilinear_sample_accel(cur_accel, u, v, z_t)
 
     i_ref = ref_intensity.reshape(n)
     r_i = (sampled[:, 0] - i_ref) * (1.0 / 255.0)

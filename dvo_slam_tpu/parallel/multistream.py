@@ -41,6 +41,7 @@ from ..models.dense_tracker import (
     match_pyramids,
 )
 from ..ops.camera import Intrinsics
+from ..ops import interp
 from ..ops.interp import build_quad_table_cm
 from ..ops.pyramid import (
     build_acceleration_cm,
@@ -152,7 +153,10 @@ def _track_streams_tuple(
         allocation) runs ~4x slower than the identical gather on a
         standalone buffer (tools/gather_probe.py: 'prepped' 4.4 ms vs
         'tuple' 1.6 ms/iter at B=8)."""
-        quads = [none] * num_levels
+        # per-level None for unsolved levels (BatchedMatcher's none_quad
+        # convention) — NOT the whole-pyramid `none` tuple, whose length
+        # coincidentally matches but types the slot wrong
+        quads = [None] * num_levels
         for level in solve_range:
             lv_b = pyr_b[level]
             accel_b = jax.vmap(build_acceleration_cm)(lv_b)  # [B, 8, N]
@@ -173,7 +177,7 @@ def _track_streams_tuple(
             cfg, intrinsics, ref, cur, init, stream_index=stream
         )
 
-    streams = jnp.arange(B, dtype=jnp.int32)
+    streams = interp.lockstep_stream_indices(B)
 
     def step(carry, frames_t):
         (prev_sel, prev_refpack), pose, rel_prev = carry

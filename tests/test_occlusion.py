@@ -166,8 +166,16 @@ def test_depth_buffered_warp_cleaner_at_occlusion():
     T = np.asarray(se3.exp_se3(jnp.asarray([0.05, 0.0, 0.0, 0.0, 0.03, 0.0])))
 
     def lv(pose):
+        from dvo_slam_tpu.ops import pyramid
+
         i, d, v = synthetic.render_frame(pose, K, SHAPE, scene=scene)
-        return build_pyramid(jnp.asarray(i), jnp.asarray(d), jnp.asarray(v), 1)[0]
+        # gate OFF: the derivative gate (pyramid.MAX_DEPTH_DERIVATIVE_M)
+        # already invalidates edge-adjacent pixels, which would hide the
+        # depth buffer's effect this test isolates
+        return pyramid.make_level(
+            jnp.asarray(i), jnp.asarray(d), jnp.asarray(v),
+            max_depth_derivative=0.0,
+        )
 
     ref, cur = lv(np.eye(4)), lv(T)
     T_warp = jnp.asarray(np.linalg.inv(T), jnp.float32)

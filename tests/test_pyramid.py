@@ -73,9 +73,13 @@ def test_depth_derivative_validity():
             if valid[y, x] and not both_ok:
                 assert not zvalid[y, x]
             if both_ok:
-                assert zdx[y, x] == np.float32(
-                    0.5 * (depth[y, x + 1] - depth[y, x - 1])
-                )
+                diff = np.float32(0.5 * (depth[y, x + 1] - depth[y, x - 1]))
+                if abs(diff) <= pyramid.MAX_DEPTH_DERIVATIVE_M:
+                    assert zdx[y, x] == diff
+                else:
+                    # discontinuity-spanning difference: gated out
+                    assert zdx[y, x] == 0.0
+                    assert not zvalid[y, x]
 
 
 def test_pyramid_shapes():
