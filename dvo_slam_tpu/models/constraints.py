@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -145,6 +145,16 @@ class ConstraintProposalValidator:
     ratio, entropy ratio (fine).
     """
 
+    # Prepared-artifact LRU budget, in FRAMES per matcher (~12 MB each at
+    # 640x480 under the fine config): keyframes recur across validation
+    # waves — the new keyframe is matched against its neighbors now and
+    # re-matched in the dense final re-search — and a re-PREPARE costs a
+    # full dispatch round trip per frame per wave (~30 ms through this
+    # sandbox's relay; the round-3 evict-everything policy made that ~6
+    # dispatches per keyframe event).  32 frames ≈ 400 MB, a sliver of a
+    # 16 GB chip.
+    MAX_CACHED_FRAMES = 32
+
     def __init__(
         self,
         intrinsics: Intrinsics,
@@ -158,6 +168,20 @@ class ConstraintProposalValidator:
         self.stage2_matcher = BatchedMatcher(
             constraint_tracker_config(tracker_cfg), intrinsics
         )
+        self._lru: Dict[int, object] = {}  # id(frame) -> frame, insertion-ordered
+
+    def _retain(self, frames):
+        """LRU-retain prepared artifacts for the wave's frames; evict the
+        least-recently-validated beyond the budget (keyframe Frames live
+        in the graph forever — the artifact cache must not)."""
+        for f in frames:
+            self._lru.pop(id(f), None)
+            self._lru[id(f)] = f
+        while len(self._lru) > self.MAX_CACHED_FRAMES:
+            _, old = next(iter(self._lru.items()))
+            del self._lru[id(old)]
+            self.stage1_matcher.evict(old)
+            self.stage2_matcher.evict(old)
 
     def validate(self, proposals: List[ConstraintProposal]) -> List[ConstraintProposal]:
         touched = {
@@ -169,14 +193,7 @@ class ConstraintProposalValidator:
             proposals = self._stage1(proposals)
             proposals = self._stage2(proposals)
         finally:
-            # Keyframe Frames live in the graph forever: release this
-            # validator's prepared artifacts (refpack/quad per level,
-            # ~12 MB/keyframe at 640x480) after the wave, keeping the
-            # reuse WITHIN the wave (current keyframe appears in every
-            # proposal; stage 2 revisits stage-1 survivors).
-            for f in touched.values():
-                self.stage1_matcher.evict(f)
-                self.stage2_matcher.evict(f)
+            self._retain(touched.values())
         return proposals
 
     # -- stages -----------------------------------------------------------

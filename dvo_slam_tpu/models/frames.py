@@ -211,6 +211,42 @@ class BatchedMatcher:
         coarser config key)."""
         frame.__dict__.get("_prepared", {}).pop((self.cfg, self.intrinsics), None)
 
+    def _prepare_many(self, frames):
+        """Prepare every UNPREPARED frame of a wave in ONE unrolled jit
+        call — one dispatch round trip per wave instead of one per frame
+        (~30 ms each through this sandbox's relay; a loop-closure wave
+        touches several new frames).  The unrolled body keeps each
+        frame's artifacts STANDALONE arrays (outputs of separate
+        subgraphs, never slices of a stacked buffer — the gather-rate
+        invariant, interp._quad_sampler).  Padded slots repeat the last
+        frame; only first occurrences are cached."""
+        key = (self.cfg, self.intrinsics)
+        todo, seen = [], set()
+        for f in frames:
+            cache = f.__dict__.setdefault("_prepared", {})
+            if key not in cache and id(f) not in seen:
+                seen.add(id(f))
+                todo.append(f)
+        if not todo:
+            return
+        # FIXED chunk size: exactly one executable per matcher, so a warm
+        # run closes the compile set (per-count buckets compiled fresh
+        # executables mid-benchmark through the remote-compile tunnel)
+        chunk = 4
+        ck = ("prep_many", chunk)
+        if ck not in self._cache:
+            single = functools.partial(prepare_frame, self.cfg, self.intrinsics)
+            self._cache[ck] = jax.jit(
+                lambda levels: tuple(single(lv) for lv in levels)
+            )
+        fn = self._cache[ck]
+        for i in range(0, len(todo), chunk):
+            part = todo[i : i + chunk]
+            padded = part + [part[-1]] * (chunk - len(part))
+            outs = fn(tuple(f.levels for f in padded))
+            for f, p in zip(part, outs[: len(part)]):
+                f.__dict__["_prepared"][key] = p
+
     def _fn(self, batch: int):
         if batch not in self._cache:
             single = functools.partial(match_prepared, self.cfg, self.intrinsics)
@@ -245,6 +281,7 @@ class BatchedMatcher:
         n = len(requests)
         bucket = 1 << (n - 1).bit_length()
         pad = bucket - n
+        self._prepare_many([f for r in requests for f in (r[0], r[1])])
         refs = [self.prepared(r[0]) for r in requests]
         curs = [self.prepared(r[1]) for r in requests]
         refs += [refs[-1]] * pad

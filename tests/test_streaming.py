@@ -59,7 +59,9 @@ def _raw_sequence(poses):
 def test_streaming_matches_keyframe_tracker():
     """The scanned front end must make the same keyframe decisions and
     produce the same trajectory as the per-frame host loop."""
-    poses = synthetic.circular_trajectory(20, radius=0.06, rot_amplitude=0.03)
+    # 14 frames crosses several keyframe switches while keeping the
+    # compile-heavy dual-path comparison inside the suite's wall budget
+    poses = synthetic.circular_trajectory(14, radius=0.06, rot_amplitude=0.03)
     iu8, du16 = _raw_sequence(poses)
     stamps = np.arange(len(poses)) / 30.0
 
@@ -139,3 +141,29 @@ def test_streaming_smoke_tiny():
     assert np.isfinite(ate) and ate < 0.05, ate
     g_stamps, g_poses = ss.trajectory()
     assert len(g_stamps) == t
+
+
+@pytest.mark.slow
+def test_host_reduced_ingest_is_bit_exact():
+    """With last_level >= 1 the host pre-reduces camera frames to the
+    last solved level before upload (streaming.host_reduce_ingest) — the
+    records must be BIT-IDENTICAL to the full-resolution upload path
+    (the u16 4-sum mean and the subsample decimation are exact)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, tracker=dataclasses.replace(CFG.tracker, first_level=2, last_level=1)
+    )
+    poses = synthetic.circular_trajectory(8, radius=0.04, rot_amplitude=0.02)
+    iu8, du16 = _raw_sequence(poses)
+
+    ss_full = StreamingSLAM(K, cfg, ingest_level=0)
+    rec_full, poses_full = ss_full.track_frontend(iu8, du16, force_last=False)
+    ss_red = StreamingSLAM(K, cfg)  # default: ingest at last_level (1)
+    assert ss_red.ingest_level == 1
+    rec_red, poses_red = ss_red.track_frontend(iu8, du16, force_last=False)
+    np.testing.assert_array_equal(poses_full, poses_red)
+    for a, b in zip(rec_full, rec_red):
+        assert a.accept == b.accept
+        np.testing.assert_array_equal(a.kf_T, b.kf_T)
+        np.testing.assert_array_equal(a.odo_T, b.odo_T)
