@@ -423,15 +423,35 @@ class StreamingSLAM:
             if initial is None
             else np.asarray(initial, np.float32)
         )
-        iu, du = intensity_u8, depth_u16
         if self.ingest_level:
-            iu, du = host_reduce_ingest(
-                np.asarray(iu), np.asarray(du), self.ingest_level
+            # pipelined ingest: reduce chunk k+1 on host while chunk k's
+            # upload is in flight (jnp.asarray dispatches the transfer
+            # asynchronously); the device-side concatenate is HBM-speed
+            chunk = 64
+            iu_np, du_np = np.asarray(intensity_u8), np.asarray(depth_u16)
+            parts_i, parts_d = [], []
+            for s in range(0, t, chunk):
+                ic, dc = host_reduce_ingest(
+                    iu_np[s : s + chunk], du_np[s : s + chunk],
+                    self.ingest_level,
+                )
+                parts_i.append(jnp.asarray(ic))
+                parts_d.append(jnp.asarray(dc))
+            d_iu = (
+                jnp.concatenate(parts_i, axis=0)
+                if len(parts_i) > 1 else parts_i[0]
             )
+            d_du = (
+                jnp.concatenate(parts_d, axis=0)
+                if len(parts_d) > 1 else parts_d[0]
+            )
+        else:
+            d_iu = jnp.asarray(intensity_u8)
+            d_du = jnp.asarray(depth_u16)
         raw = np.asarray(
             self._run(
-                jnp.asarray(iu),
-                jnp.asarray(du),
+                d_iu,
+                d_du,
                 jnp.asarray(force),
                 jnp.asarray(init_T),
             )
