@@ -183,13 +183,24 @@ class BatchedMatcher:
     local_tracker.cpp:162-169).
     """
 
+    # jit caches are MODULE-level, keyed by (cfg, intrinsics[, bucket]):
+    # tracing a batch-8 wave costs ~14 s on host (the persistent compile
+    # cache skips XLA, not tracing), and every test / validator / tracker
+    # instance constructs fresh matchers with the same frozen configs —
+    # per-instance caches re-paid the trace each time.
+    _WAVE_FNS: dict = {}
+    _PREPARE_JITS: dict = {}
+
     def __init__(self, cfg: TrackerConfig, intrinsics: Intrinsics):
         self.cfg = cfg
         self.intrinsics = intrinsics
-        self._cache = {}
-        self._prepare_jit = jax.jit(
-            functools.partial(prepare_frame, cfg, intrinsics)
-        )
+        self._key = (cfg, intrinsics)
+        self._cache = BatchedMatcher._WAVE_FNS.setdefault(self._key, {})
+        if self._key not in BatchedMatcher._PREPARE_JITS:
+            BatchedMatcher._PREPARE_JITS[self._key] = jax.jit(
+                functools.partial(prepare_frame, cfg, intrinsics)
+            )
+        self._prepare_jit = BatchedMatcher._PREPARE_JITS[self._key]
 
     def prepared(self, frame: Frame) -> PreparedFrame:
         """The frame's cached solver artifacts (computed on first use).
@@ -279,7 +290,27 @@ class BatchedMatcher:
         if not requests:
             return []
         n = len(requests)
-        bucket = 1 << (n - 1).bit_length()
+        # QUANTIZED buckets {2, 8, 16}: each new bucket size traces the
+        # whole unrolled wave function, and the trace cost scales with
+        # the unroll width (~14 s for batch 8 on host; tracing is per
+        # process and per size — the persistent cache only skips the XLA
+        # compile).  Loop-closure waves grow with the keyframe count, so
+        # unbounded pow2 buckets kept minting wider traces mid-run;
+        # waves beyond 16 CHUNK into several dispatches instead (two
+        # extra round trips beat a fresh minute-scale trace, on host and
+        # through the TPU relay alike).  Padded slots re-run the last
+        # proposal: a few wasted solves vs a fresh trace.
+        if n > 16:
+            out: List[HostTrackingResult] = []
+            for s in range(0, n, 16):
+                out.extend(self.match_many(requests[s : s + 16]))
+            return out
+        if n <= 2:
+            bucket = 2
+        elif n <= 8:
+            bucket = 8
+        else:
+            bucket = 16
         pad = bucket - n
         self._prepare_many([f for r in requests for f in (r[0], r[1])])
         refs = [self.prepared(r[0]) for r in requests]
