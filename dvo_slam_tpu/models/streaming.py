@@ -131,6 +131,13 @@ def host_reduce_ingest(intensity_u8, depth_u16, levels: int):
     gray float, benchmark_slam.cpp:46-93).  Bit-exact: the device path's
     f32 mean of u8 values and the u16-sum/4 produce identical floats.
     """
+    if intensity_u8.ndim == 3 and levels >= 1:
+        try:  # C++ path: two threads, ~10x the single-thread NumPy form
+            from ..native import reduce_ingest_native
+
+            return reduce_ingest_native(intensity_u8, depth_u16, levels)
+        except Exception:
+            pass  # NumPy oracle below (also the parity reference in tests)
     i = intensity_u8.astype(np.uint16)
     d = depth_u16
     for _ in range(levels):

@@ -92,6 +92,26 @@ def load_rgbd_native(
     return gray, depth, valid
 
 
+def reduce_ingest_native(intensity_u8: np.ndarray, depth_u16: np.ndarray,
+                         levels: int):
+    """C++ twin of streaming.host_reduce_ingest: lossless u16 4^k-scaled
+    2x2-mean intensity + subsampled depth, two worker threads, GIL
+    released.  Returns (intensity_u16, depth_u16) or raises if the
+    extension is unavailable / the shape is unsupported (callers fall
+    back to the NumPy oracle)."""
+    ext = _load()
+    if ext is None:
+        raise RuntimeError(f"native ingest unavailable: {_build_error}")
+    iu = np.ascontiguousarray(intensity_u8, np.uint8)
+    du = np.ascontiguousarray(depth_u16, np.uint16)
+    t, h, w = iu.shape
+    ib, db, ho, wo = ext.reduce_ingest(iu.data, du.data, t, h, w, int(levels))
+    return (
+        np.frombuffer(ib, np.uint16).reshape(t, ho, wo),
+        np.frombuffer(db, np.uint16).reshape(t, ho, wo),
+    )
+
+
 def load_rgbd_raw(
     rgb_path: str, depth_path: str
 ) -> Tuple[np.ndarray, np.ndarray]:

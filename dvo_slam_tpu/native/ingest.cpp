@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -176,11 +177,123 @@ PyObject* py_decode_depth(PyObject*, PyObject* args) {
   return decode_common(args, /*want_depth=*/true);
 }
 
+// ---------------------------------------------------------------------------
+// Host-side ingest reduction (the C++ twin of streaming.host_reduce_ingest):
+// intensity as a lossless u16 2x2-SUM per level (values scaled 4^levels),
+// depth as the reference's subsample decimation (rgbd_image.cpp:127-139).
+// Iterated per level with floor-halved dims, bit-identical to the NumPy
+// oracle.  Frames split across two worker threads (the sandbox host has two
+// cores); the GIL is released for the whole reduction.
+// ---------------------------------------------------------------------------
+
+void reduce_frames(const uint8_t* iu8, const uint16_t* du16, size_t t0,
+                   size_t t1, size_t h, size_t w, int levels, uint16_t* i_out,
+                   uint16_t* d_out, size_t ho, size_t wo,
+                   std::vector<uint16_t>& scratch) {
+  // scratch holds one frame's intermediate intensity level (u16)
+  for (size_t t = t0; t < t1; ++t) {
+    const uint8_t* src8 = iu8 + t * h * w;
+    size_t ch = h, cw = w;
+    // level 0 -> 1 from u8
+    size_t nh = ch / 2, nw = cw / 2;
+    uint16_t* cur = scratch.data();
+    for (size_t y = 0; y < nh; ++y) {
+      const uint8_t* r0 = src8 + (2 * y) * cw;
+      const uint8_t* r1 = src8 + (2 * y + 1) * cw;
+      uint16_t* dst = cur + y * nw;
+      for (size_t x = 0; x < nw; ++x)
+        dst[x] = static_cast<uint16_t>(r0[2 * x]) + r0[2 * x + 1] +
+                 r1[2 * x] + r1[2 * x + 1];
+    }
+    ch = nh; cw = nw;
+    // further levels in u16
+    uint16_t* nxt = scratch.data() + scratch.size() / 2;
+    for (int l = 1; l < levels; ++l) {
+      nh = ch / 2; nw = cw / 2;
+      for (size_t y = 0; y < nh; ++y) {
+        const uint16_t* r0 = cur + (2 * y) * cw;
+        const uint16_t* r1 = cur + (2 * y + 1) * cw;
+        uint16_t* dst = nxt + y * nw;
+        for (size_t x = 0; x < nw; ++x)
+          dst[x] = static_cast<uint16_t>(r0[2 * x] + r0[2 * x + 1] +
+                                         r1[2 * x] + r1[2 * x + 1]);
+      }
+      std::swap(cur, nxt);
+      ch = nh; cw = nw;
+    }
+    std::memcpy(i_out + t * ho * wo, cur, ho * wo * sizeof(uint16_t));
+    // depth: iterated stride-2 subsample == single stride-2^levels pick of
+    // the floor-halved grids (dims here are exactly divisible per level)
+    const uint16_t* dsrc = du16 + t * h * w;
+    size_t stride = static_cast<size_t>(1) << levels;
+    uint16_t* ddst = d_out + t * ho * wo;
+    for (size_t y = 0; y < ho; ++y) {
+      const uint16_t* row = dsrc + (y * stride) * w;
+      for (size_t x = 0; x < wo; ++x) ddst[y * wo + x] = row[x * stride];
+    }
+  }
+}
+
+PyObject* py_reduce_ingest(PyObject*, PyObject* args) {
+  Py_buffer ibuf, dbuf;
+  unsigned long t, h, w;
+  int levels;
+  if (!PyArg_ParseTuple(args, "y*y*kkki", &ibuf, &dbuf, &t, &h, &w, &levels))
+    return nullptr;
+  size_t ho = h, wo = w;
+  for (int l = 0; l < levels; ++l) { ho /= 2; wo /= 2; }
+  bool ok = levels >= 1 && levels <= 3 &&
+            ibuf.len == static_cast<Py_ssize_t>(t * h * w) &&
+            dbuf.len == static_cast<Py_ssize_t>(t * h * w * 2) &&
+            // iterated floor-halving must match the single-stride pick
+            (h >> levels) << levels == (ho << levels) &&
+            (w >> levels) << levels == (wo << levels);
+  // dims with odd intermediate sizes fall back to the Python path
+  for (int l = 0, hh = static_cast<int>(h), ww = static_cast<int>(w);
+       l < levels; ++l, hh /= 2, ww /= 2)
+    if ((hh & 1) || (ww & 1)) ok = false;
+  if (!ok) {
+    PyBuffer_Release(&ibuf);
+    PyBuffer_Release(&dbuf);
+    PyErr_SetString(PyExc_ValueError, "reduce_ingest: unsupported shape/levels");
+    return nullptr;
+  }
+  std::vector<uint16_t> i_out(t * ho * wo), d_out(t * ho * wo);
+  Py_BEGIN_ALLOW_THREADS {
+    const uint8_t* iu8 = static_cast<const uint8_t*>(ibuf.buf);
+    const uint16_t* du16 = static_cast<const uint16_t*>(dbuf.buf);
+    size_t mid = t / 2;
+    std::vector<uint16_t> s1((h / 2) * (w / 2) * 2), s2((h / 2) * (w / 2) * 2);
+    std::thread worker([&] {
+      reduce_frames(iu8, du16, 0, mid, h, w, levels, i_out.data(),
+                    d_out.data(), ho, wo, s1);
+    });
+    reduce_frames(iu8, du16, mid, t, h, w, levels, i_out.data(), d_out.data(),
+                  ho, wo, s2);
+    worker.join();
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&ibuf);
+  PyBuffer_Release(&dbuf);
+  PyObject* ib = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(i_out.data()),
+      static_cast<Py_ssize_t>(i_out.size() * 2));
+  PyObject* db = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(d_out.data()),
+      static_cast<Py_ssize_t>(d_out.size() * 2));
+  if (!ib || !db) return nullptr;
+  return Py_BuildValue("(NNkk)", ib, db, static_cast<unsigned long>(ho),
+                       static_cast<unsigned long>(wo));
+}
+
 PyMethodDef methods[] = {
     {"decode_gray_u8", py_decode_gray, METH_VARARGS,
      "Decode PNG bytes to (u8 luma bytes, h, w)."},
     {"decode_depth_u16", py_decode_depth, METH_VARARGS,
      "Decode 16-bit PNG bytes to (u16 bytes, h, w)."},
+    {"reduce_ingest", py_reduce_ingest, METH_VARARGS,
+     "Reduce [T,H,W] u8 intensity + u16 depth to level L (u16 sums, "
+     "subsampled depth)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

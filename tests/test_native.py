@@ -81,3 +81,31 @@ def test_tum_dataset_with_assoc(tmp_path, png_pair):
     assert frame.intensity.shape == (48, 64)
     assert frame.timestamp == 1.0
     assert (frame.depth[~frame.valid] == 0).all()
+
+
+def test_native_reduce_ingest_matches_numpy_oracle():
+    """The C++ ingest reducer must be bit-identical to the NumPy form of
+    streaming.host_reduce_ingest (which is itself bit-identical to the
+    device pyramid path — test_host_reduced_ingest_is_bit_exact)."""
+    import numpy as np
+    import pytest
+
+    from dvo_slam_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native extension unavailable")
+    rng = np.random.default_rng(3)
+    iu = rng.integers(0, 256, (7, 96, 128), dtype=np.uint8)
+    du = rng.integers(0, 60000, (7, 96, 128), dtype=np.uint16)
+    for levels in (1, 2, 3):
+        a_i, a_d = native.reduce_ingest_native(iu, du, levels)
+        b_i = iu.astype(np.uint16)
+        b_d = du
+        for _ in range(levels):
+            b_i = (
+                b_i[..., 0::2, 0::2] + b_i[..., 0::2, 1::2]
+                + b_i[..., 1::2, 0::2] + b_i[..., 1::2, 1::2]
+            )
+            b_d = b_d[..., 0::2, 0::2]
+        np.testing.assert_array_equal(a_i, b_i)
+        np.testing.assert_array_equal(a_d, b_d)
