@@ -227,7 +227,6 @@ def main():
         device=str(jax.devices()[0]),
     )
     stamps = np.arange(num_frames) / 30.0
-    variants = []
     hard_scene = synthetic.occluded_scene()
 
     # END-TO-END SLAM: front end + replayed back end (local-map optimize,
@@ -373,8 +372,6 @@ def main():
 
     # full keyframe-SLAM front end (dual match + policy + keyframe switch
     # as one scanned program, models/streaming.py) on the same sequence
-    import gc
-
     from dvo_slam_tpu.config import benchmark_config as _bc
     from dvo_slam_tpu.models.streaming import StreamingSLAM
 

@@ -70,7 +70,13 @@ _EVAL_KINDS = {
 
 
 def evaluation_kind(evaluation) -> str:
-    """Serialization tag for an evaluation object (checkpoint/resume)."""
+    """Serialization tag for an evaluation object (checkpoint/resume).
+
+    A RestoredEvaluation carries its original kind — a save->load->save
+    cycle must not collapse entropy/normalized evaluations to loglik."""
+    kind = getattr(evaluation, "_kind", None)
+    if kind is not None:
+        return kind
     name = type(evaluation).__name__
     if "Normalized" in name:
         return "normalized"
@@ -103,6 +109,7 @@ class RestoredEvaluation:
         self._first = state["first"]
         self._average = state["average"]
         self._n = state["n"]
+        self._kind = state["kind"]  # survives re-checkpointing
         self._value = _EVAL_KINDS[state["kind"]]
 
     def value(self, r) -> float:

@@ -17,9 +17,13 @@ promotes it, keyframe_graph.cpp:759-794); here the same promotion is an
 explicit rename of the pending vertex key.
 
 The optimization thread + concurrent queue of the reference
-(keyframe_graph.cpp:401-432) becomes optional: synchronous by default
-(deterministic tests/benchmarks), with a background worker available via
-``use_threading=True``.
+(keyframe_graph.cpp:401-432) is ON BY DEFAULT
+(``GraphConfig.use_multi_threading``, mirroring the reference's
+UseMultiThreading default, config.cpp:38): graph work runs on a worker
+thread consuming the queue, exceptions poison the graph and surface at
+the next wait point (wait_for_queue / trajectory / shutdown), and
+``use_threading=False`` forces the synchronous mode for deterministic
+debugging.
 """
 
 from __future__ import annotations
@@ -82,6 +86,7 @@ class KeyframeGraph:
         self._thread: Optional[threading.Thread] = None
         self._shutdown = False
         self._worker_error: Optional[BaseException] = None
+        self._poisoned = False  # see add()/_worker
         if use_threading:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
@@ -91,7 +96,19 @@ class KeyframeGraph:
         self.map_changed_callbacks.append(cb)
 
     def add(self, local_map: LocalMap):
-        """Queue a completed local map (keyframe_graph.cpp:161-174)."""
+        """Queue a completed local map (keyframe_graph.cpp:161-174).
+
+        A graph whose worker failed is POISONED: the promotion state
+        (_pending_key/_pending_meas) refers to the map before the
+        failure, so inserting further maps would silently mis-anchor the
+        trajectory — add() refuses instead (restore from a checkpoint or
+        build a fresh graph)."""
+        if self._poisoned:
+            raise RuntimeError(
+                "keyframe graph poisoned by an earlier worker failure; "
+                "its pending-promotion state is stale — restore from a "
+                "checkpoint or start a fresh graph"
+            )
         if self._thread is not None:
             self._queue.put(local_map)
         else:
@@ -100,7 +117,8 @@ class KeyframeGraph:
     def wait_for_queue(self):
         """Block until the worker drained the queue; re-raise the FIRST
         worker exception here (the reference's thread would die silently —
-        a deferred failure must still fail the caller)."""
+        a deferred failure must still fail the caller).  The exception is
+        raised ONCE; the poisoned flag persists (see add())."""
         if self._thread is not None:
             self._queue.join()
         self._raise_worker_error()
@@ -112,28 +130,40 @@ class KeyframeGraph:
                 "keyframe-graph worker failed while processing a local map"
             ) from err
 
-    def shutdown(self):
+    def shutdown(self, timeout: float = 30.0):
+        """Stop the worker.  If it fails to exit within ``timeout`` the
+        hazard is raised, NOT swallowed: a zombie worker still inside a
+        validation wave would race a successor graph sharing the same
+        validator (corrupting its prepared-artifact caches)."""
         self._shutdown = True
         if self._thread is not None:
             self._queue.put(None)
-            self._thread.join(timeout=5.0)
+            self._thread.join(timeout=timeout)
+            if self._thread.is_alive():
+                raise RuntimeError(
+                    f"keyframe-graph worker did not exit within {timeout}s; "
+                    "refusing to orphan it (it may still be mutating the "
+                    "validator caches)"
+                )
             self._thread = None
         self._raise_worker_error()
 
     def _worker(self):
         """Queue consumer (reference: execOptimization thread,
-        keyframe_graph.cpp:401-432).  An exception is captured (first one
-        wins) and the loop KEEPS DRAINING — dying here would hang every
-        later wait_for_queue()."""
+        keyframe_graph.cpp:401-432).  The FIRST exception poisons the
+        graph: later queued maps are drained but NOT applied (their
+        anchor, the pending-promotion state, is stale) — dying here
+        instead would hang every later wait_for_queue()."""
         while True:
             m = self._queue.get()
             try:
                 if m is None or self._shutdown:
                     return
-                if self._worker_error is None:
+                if not self._poisoned:
                     self._new_keyframe(m)
             except BaseException as e:  # surfaced at the next wait point
                 self._worker_error = e
+                self._poisoned = True
             finally:
                 self._queue.task_done()
 

@@ -131,6 +131,10 @@ def host_reduce_ingest(intensity_u8, depth_u16, levels: int):
     gray float, benchmark_slam.cpp:46-93).  Bit-exact: the device path's
     f32 mean of u8 values and the u16-sum/4 produce identical floats.
     """
+    if levels > 3:
+        # the u16 block sums bound the depth: 255 * 4^3 = 16320 < 65535,
+        # one more level would silently wrap
+        raise ValueError(f"host_reduce_ingest supports levels <= 3, got {levels}")
     if intensity_u8.ndim == 3 and levels >= 1:
         try:  # C++ path: two threads, ~10x the single-thread NumPy form
             from ..native import reduce_ingest_native
@@ -141,11 +145,15 @@ def host_reduce_ingest(intensity_u8, depth_u16, levels: int):
     i = intensity_u8.astype(np.uint16)
     d = depth_u16
     for _ in range(levels):
+        # floor-halved dims, like the device pyramid (odd trailing
+        # row/column never reaches the next level on either path)
+        h2, w2 = i.shape[-2] // 2, i.shape[-1] // 2
+        i = i[..., : 2 * h2, : 2 * w2]
         i = (
             i[..., 0::2, 0::2] + i[..., 0::2, 1::2]
             + i[..., 1::2, 0::2] + i[..., 1::2, 1::2]
         )
-        d = d[..., 0::2, 0::2]
+        d = d[..., : 2 * h2 : 2, : 2 * w2 : 2]
     return i, d
 
 
@@ -394,7 +402,8 @@ class StreamingSLAM:
         self.cfg = cfg or SlamConfig()
         self.intrinsics = intrinsics
         self.ingest_level = (
-            self.cfg.tracker.last_level if ingest_level is None else ingest_level
+            min(self.cfg.tracker.last_level, 3)  # u16-sum bound, see
+            if ingest_level is None else ingest_level  # host_reduce_ingest
         )
         self._run = make_streaming_frontend(
             self.cfg, intrinsics, ingest_level=self.ingest_level

@@ -133,12 +133,14 @@ def test_threading_default_follows_config():
     assert kg2._thread is None
 
 
-def test_worker_exception_surfaces_and_keeps_draining():
+def test_worker_exception_surfaces_poisons_and_keeps_draining():
     """A failing local map must not kill the worker: the first error
-    surfaces at the next wait point (wait_for_queue / shutdown) and later
-    queue items still drain — a dead worker would hang wait_for_queue
-    forever (the reference's thread would die silently,
-    keyframe_graph.cpp:401-432)."""
+    surfaces at the next wait point (wait_for_queue / shutdown), later
+    queue items still drain (a dead worker would hang wait_for_queue
+    forever — the reference's thread would die silently,
+    keyframe_graph.cpp:401-432), and the graph is POISONED: its
+    pending-promotion state is stale, so further add() must refuse
+    instead of silently mis-anchoring the trajectory."""
     from dvo_slam_tpu.models.keyframe_graph import KeyframeGraph
 
     kg = KeyframeGraph(K, GraphConfig(), TrackerConfig(), use_threading=True)
@@ -146,8 +148,11 @@ def test_worker_exception_surfaces_and_keeps_draining():
     kg.add(object())  # must still be drained after the failure
     with pytest.raises(RuntimeError, match="worker failed"):
         kg.wait_for_queue()
-    # error reported exactly once; the queue drained and remains usable
+    # error reported exactly once; the queue drained
     kg.wait_for_queue()
+    # ...but the graph refuses further ingestion
+    with pytest.raises(RuntimeError, match="poisoned"):
+        kg.add(object())
     kg.shutdown()
 
 

@@ -167,3 +167,35 @@ def test_host_reduced_ingest_is_bit_exact():
         assert a.accept == b.accept
         np.testing.assert_array_equal(a.kf_T, b.kf_T)
         np.testing.assert_array_equal(a.odo_T, b.odo_T)
+
+
+def test_host_reduce_ingest_odd_dims_match_device_floor_halving():
+    """Odd image dimensions must floor-halve like the device pyramid
+    (the trailing odd row/column never reaches the next level)."""
+    from dvo_slam_tpu.models.streaming import host_reduce_ingest
+    from dvo_slam_tpu.ops import pyramid
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    iu = rng.integers(0, 256, (2, 31, 45), dtype=np.uint8)
+    du = rng.integers(0, 60000, (2, 31, 45), dtype=np.uint16)
+    i1, d1 = host_reduce_ingest(iu, du, 1)
+    assert i1.shape == (2, 15, 22) and d1.shape == (2, 15, 22)
+    # parity with the device downsamplers
+    dev_i = np.asarray(pyramid.downsample_intensity(jnp.asarray(iu[0], jnp.float32)))
+    np.testing.assert_allclose(i1[0].astype(np.float32) / 4.0, dev_i, atol=1e-4)
+    dev_d, _ = pyramid.downsample_depth(
+        jnp.asarray(du[0], jnp.float32), jnp.ones((31, 45), bool)
+    )
+    np.testing.assert_array_equal(d1[0].astype(np.float32), np.asarray(dev_d))
+
+
+def test_restored_evaluation_kind_survives_resave():
+    """save -> load -> save must not collapse entropy/normalized
+    evaluation kinds to loglik (the voter would mix units)."""
+    from dvo_slam_tpu.models import evaluation as ev
+
+    state = {"kind": "entropy", "first": 2.0, "average": 6.0, "n": 3.0}
+    r = ev.RestoredEvaluation(state)
+    assert ev.evaluation_kind(r) == "entropy"
+    assert ev.evaluation_state(r)["kind"] == "entropy"

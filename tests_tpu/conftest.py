@@ -14,6 +14,8 @@ Do NOT run concurrently with bench.py or any other TPU process — two
 processes on the tunneled chip kill each other with FAILED_PRECONDITION.
 """
 
+import os
+
 import jax
 import pytest
 
@@ -23,6 +25,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 def pytest_collection_modifyitems(config, items):
+    # The repo-wide addopts run xdist workers (-n 2) — which on THIS tier
+    # means two processes initializing the one tunneled TPU and killing
+    # each other with FAILED_PRECONDITION.  Refuse to run parallel rather
+    # than fault the chip: use `python -m pytest tests_tpu -q -n 0`.
+    if os.environ.get("PYTEST_XDIST_WORKER") is not None:
+        skip = pytest.mark.skip(
+            reason="tpu tier must run serially: pass -n 0 (two TPU "
+            "processes kill each other)"
+        )
+        for item in items:
+            item.add_marker(skip)
+        return
     if jax.default_backend() in ("cpu",):
         skip = pytest.mark.skip(
             reason="tpu tier: default backend is CPU (no accelerator)"

@@ -32,16 +32,10 @@ def main():
     e2e_poses = synthetic.circular_trajectory(
         e2e_frames, radius=0.15, rot_amplitude=0.12, z_amplitude=0.05
     )
+    from bench import render_sequence
+
     hard_scene = synthetic.occluded_scene()
-    e2e_i = np.zeros((e2e_frames,) + shape, np.uint8)
-    e2e_d = np.zeros((e2e_frames,) + shape, np.uint16)
-    for i in range(e2e_frames):
-        intensity, depth, valid = synthetic.render_frame(
-            e2e_poses[i], TUM_FR1, shape, scene=hard_scene, seed=2000 + i,
-            depth_noise=0.002, intensity_noise=1.0,
-        )
-        e2e_i[i] = np.clip(intensity, 0, 255).astype(np.uint8)
-        e2e_d[i] = np.where(valid, depth * 5000.0, 0).astype(np.uint16)
+    e2e_i, e2e_d = render_sequence(e2e_poses, shape, scene=hard_scene, seed0=2000)
     render_s = time.perf_counter() - t0
     e2e_stamps = np.arange(e2e_frames) / 30.0
 
@@ -101,8 +95,6 @@ def main():
     slam.graph.final_optimization()
     final_s = time.perf_counter() - t0
 
-    _, traj = slam.graph.trajectory()
-    s_out, _ = slam.graph.trajectory()
     ate = trajectory.ate_rmse(*slam.graph.trajectory(), e2e_stamps, e2e_poses)
     total = fe_s + replay_s + final_s
     phases = {
