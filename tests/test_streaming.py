@@ -199,3 +199,27 @@ def test_restored_evaluation_kind_survives_resave():
     r = ev.RestoredEvaluation(state)
     assert ev.evaluation_kind(r) == "entropy"
     assert ev.evaluation_state(r)["kind"] == "entropy"
+
+
+@pytest.mark.slow
+def test_streaming_survives_invalid_frame_mid_sequence():
+    """A frame with NO valid depth mid-sequence (sensor dropout) must not
+    poison the scan: the NaN/force path fires (local_tracker.cpp:187-190
+    semantics), the trajectory stays finite, and tracking recovers on the
+    following frames."""
+    poses = synthetic.circular_trajectory(12, radius=0.04, rot_amplitude=0.02)
+    iu8, du16 = _raw_sequence(poses)
+    du16[6] = 0  # whole frame invalid (0 = TUM invalid-depth sentinel)
+    ss = StreamingSLAM(K, CFG)
+    stamps = np.arange(len(poses)) / 30.0
+    est = ss.track_sequence(iu8, du16, stamps, force_last=False)
+    assert np.isfinite(est).all()
+    # the dropout hop's motion is unobservable (odometry resets to
+    # identity there) — recovery means RELATIVE tracking after the
+    # dropout matches ground truth again
+    rel_est = np.linalg.inv(est[8]) @ est[11]
+    rel_gt = np.linalg.inv(poses[8]) @ poses[11]
+    rel_err = np.linalg.norm(rel_est[:3, 3] - rel_gt[:3, 3])
+    assert rel_err < 0.01, rel_err
+    g_stamps, g_poses = ss.trajectory()
+    assert np.isfinite(g_poses).all()
