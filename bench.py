@@ -255,15 +255,24 @@ def main():
             # then BEST-OF-2 timed runs on PERTURBED copies (the relay
             # memoizes identical (executable, inputs) executions and its
             # latency jitters run to run — see the protocol notes)
+            # pipeline_chunk: chunked scan + incremental replay — the
+            # upload, scan, decode, and the worker's validation waves
+            # overlap (records bit-identical to the monolithic scan,
+            # test_pipelined_track_sequence_matches_monolithic)
+            PIPE = 50
             slam_e2e = _SS(TUM_FR1, _bc2())
-            slam_e2e.track_sequence(e2e_i, e2e_d, e2e_stamps)
+            slam_e2e.track_sequence(
+                e2e_i, e2e_d, e2e_stamps, pipeline_chunk=PIPE
+            )
             best = None
             for r in range(2):
                 slam_e2e.reset()
                 e2e_iv = e2e_i.copy()
                 e2e_iv[:, 0, :] += r + 1
                 t0 = time.perf_counter()
-                slam_e2e.track_sequence(e2e_iv, e2e_d, e2e_stamps)
+                slam_e2e.track_sequence(
+                    e2e_iv, e2e_d, e2e_stamps, pipeline_chunk=PIPE
+                )
                 elapsed = time.perf_counter() - t0
                 stamps_out, traj_out = slam_e2e.graph.trajectory()
                 ate_r = trajectory.ate_rmse(

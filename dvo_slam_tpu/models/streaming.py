@@ -158,7 +158,7 @@ def host_reduce_ingest(intensity_u8, depth_u16, levels: int):
 
 
 def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics,
-                            ingest_level: int = 0):
+                            ingest_level: int = 0, chunked: bool = False):
     """jit-compiled whole-sequence keyframe front end.
 
     Returns ``run(intensity [T,H,W], depth_u16 [T,H,W],
@@ -169,6 +169,11 @@ def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics,
     :func:`host_reduce_ingest` products (u16, intensity scaled 4^L) and
     the whole solve runs on the physically identical shifted pyramid —
     bit-exact results, 1/4^L the upload bytes per level dropped.
+
+    With ``chunked`` = True returns ``(run_first, run_cont)`` for the
+    pipelined driver (see StreamingSLAM.track_sequence's
+    ``pipeline_chunk``): run_first also returns the scan carry, run_cont
+    advances it over further fixed-size chunks.
     """
     tcfg = cfg.tracker
     kcfg = cfg.keyframe
@@ -344,7 +349,61 @@ def make_streaming_frontend(cfg: SlamConfig, intrinsics: Intrinsics,
         )
         return jnp.concatenate([rec0[None], rec1[None], records], axis=0)
 
-    return run
+    if not chunked:
+        return run
+
+    # Chunked pair for the PIPELINED driver: run_first covers the
+    # bootstrap + the first chunk, run_cont advances the carried _State
+    # over one more chunk.  Record semantics identical to `run` — the
+    # scan is merely segmented, the carry crosses the jit boundary as a
+    # device-resident pytree (so chunk k+1 can be DISPATCHED before chunk
+    # k's records are downloaded: the device pipeline stays full while
+    # the host decodes and the back-end worker consumes).
+    @jax.jit
+    def run_first_state(intensity_u8, depth_u16, force, init_T):
+        # same as run_first but ALSO returns the carry for continuation
+        f0 = prep(build(intensity_u8[0], depth_u16[0]))
+        f1 = prep(build(intensity_u8[1], depth_u16[1]))
+        r0 = match(f0, f1, None)
+        T0, info0, nll0, n0, pix0 = res_of(r0)
+        ok0 = jnp.isfinite(T0).all()
+        T0m = jnp.where(ok0, T0, eye)
+        init_T = init_T.astype(jnp.float32)
+        state = _State(
+            kf=ref_artifacts(f0) if fused else f0,
+            last=ref_artifacts(f1) if fused else f1,
+            kf_pose=init_T,
+            last_pose=init_T @ T0m,
+            last_to_kf=T0,
+            last_kf_estimate=T0,
+            eval_first=-nll0,
+        )
+        zeros = jnp.zeros(_RES, jnp.float32)
+        rec0 = jnp.concatenate(
+            [jnp.zeros(4, jnp.float32), zeros, zeros, init_T.reshape(16)]
+        )
+        rec1 = jnp.concatenate(
+            [
+                jnp.asarray([1.0, 0.0, 0.0, 1.0], jnp.float32),
+                _flat_res(
+                    T0m,
+                    jnp.where(ok0, info0, jnp.eye(6, dtype=jnp.float32)),
+                    nll0, n0, pix0,
+                ),
+                zeros,
+                state.last_pose.reshape(16),
+            ]
+        )
+        state, records = jax.lax.scan(
+            step, state, (intensity_u8[2:], depth_u16[2:], force[2:])
+        )
+        return state, jnp.concatenate([rec0[None], rec1[None], records], axis=0)
+
+    @jax.jit
+    def run_cont(state, intensity_u8, depth_u16, force):
+        return jax.lax.scan(step, state, (intensity_u8, depth_u16, force))
+
+    return run_first_state, run_cont
 
 
 class _StubFrame:
@@ -484,16 +543,95 @@ class StreamingSLAM:
         initial=None,
         force_last=True,
         finish=True,
+        pipeline_chunk: Optional[int] = None,
     ):
-        """Front end + replayed back end; returns online poses [T, 4, 4]."""
-        records, poses = self.track_frontend(
-            intensity_u8, depth_u16, initial, force_last
-        )
-        self.records = records
-        self._replay(records, intensity_u8, depth_u16, timestamps)
+        """Front end + replayed back end; returns online poses [T, 4, 4].
+
+        ``pipeline_chunk`` = C runs the PIPELINED form: the scan is
+        segmented into C-frame chunks whose carry crosses jit calls, so
+        chunk k+1 is already dispatched (and its ingest reduced/uploaded)
+        while chunk k's records download, decode, and feed the
+        worker-threaded back end — the front-end device work, the
+        host↔device transfers, and the back end's validation waves
+        overlap instead of running as three serial phases.  Records are
+        BIT-IDENTICAL to the monolithic scan (the scan is merely
+        segmented); None keeps the single-program form."""
+        if pipeline_chunk is None or intensity_u8.shape[0] <= pipeline_chunk:
+            records, poses = self.track_frontend(
+                intensity_u8, depth_u16, initial, force_last
+            )
+            self.records = records
+            self._replay(records, intensity_u8, depth_u16, timestamps)
+        else:
+            records, poses = self._track_pipelined(
+                intensity_u8, depth_u16, timestamps, initial, force_last,
+                pipeline_chunk,
+            )
+            self.records = records
         if finish:
             self.graph.final_optimization()
         return poses
+
+    def _chunked_runs(self, chunk: int):
+        cache = self.__dict__.setdefault("_chunked_cache", {})
+        if chunk not in cache:
+            cache[chunk] = make_streaming_frontend(
+                self.cfg, self.intrinsics, ingest_level=self.ingest_level,
+                chunked=True,
+            )
+        return cache[chunk]
+
+    def _track_pipelined(self, intensity_u8, depth_u16, timestamps, initial,
+                         force_last, chunk):
+        run_first, run_cont = self._chunked_runs(chunk)
+        t = intensity_u8.shape[0]
+        t_pad = -(-t // chunk) * chunk
+        force = np.zeros(t_pad, bool)
+        if force_last:
+            force[t - 1] = True  # padded tail rides with force off
+        init_T = (
+            np.eye(4, dtype=np.float32)
+            if initial is None
+            else np.asarray(initial, np.float32)
+        )
+        iu_np, du_np = np.asarray(intensity_u8), np.asarray(depth_u16)
+        feeder = _ReplayFeeder(self, iu_np, du_np, timestamps)
+        records: List[FrameRecord] = []
+
+        def chunk_arrays(s):
+            e = min(s + chunk, t)
+            iu_c, du_c = iu_np[s:e], du_np[s:e]
+            if e - s < chunk:  # pad with repeats of the last real frame
+                reps = chunk - (e - s)
+                iu_c = np.concatenate([iu_c, np.repeat(iu_c[-1:], reps, 0)])
+                du_c = np.concatenate([du_c, np.repeat(du_c[-1:], reps, 0)])
+            if self.ingest_level:
+                iu_c, du_c = host_reduce_ingest(iu_c, du_c, self.ingest_level)
+            return jnp.asarray(iu_c), jnp.asarray(du_c)
+
+        def consume(raw_handle, s):
+            raw = np.asarray(raw_handle)  # sync point for chunk s
+            for k in range(min(chunk, t - s)):
+                rec = _decode(raw[k])
+                records.append(rec)
+                feeder.feed(rec)
+
+        pending = None
+        state = None
+        for s in range(0, t_pad, chunk):
+            d_i, d_d = chunk_arrays(s)
+            d_f = jnp.asarray(force[s : s + chunk])
+            if s == 0:
+                state, raw = run_first(d_i, d_d, d_f, jnp.asarray(init_T))
+            else:
+                state, raw = run_cont(state, d_i, d_d, d_f)
+            if pending is not None:
+                consume(*pending)  # chunk s executes while s-chunk feeds
+            pending = (raw, s)
+        consume(*pending)
+        feeder.finish()
+        poses = np.stack([r.pose for r in records])
+        return records, poses
 
     def _frame(self, intensity_u8, depth_u16, timestamps, i) -> Frame:
         depth = np.asarray(depth_u16[i], np.float32) / 5000.0
@@ -509,56 +647,83 @@ class StreamingSLAM:
     def _replay(self, records, intensity_u8, depth_u16, timestamps):
         """Rebuild the local maps / keyframe graph from the records —
         every decision comes from the device scan, nothing is re-decided."""
-        mk = lambda i: self._frame(intensity_u8, depth_u16, timestamps, i)
-        t = len(records)
-        if t < 2:
-            return
-        kf_index = 0
-        local_map = LocalMap.create(mk(0), records[0].pose)
-        local_map.add_frame(_StubFrame(timestamps[1], 1))
-        r1 = records[1]
-        local_map.add_keyframe_measurement(r1.kf_T, r1.kf_info)
-        evaluation = _ReplayEvaluation(-r1.kf_nll)
-        kcfg = self.cfg.keyframe
+        feeder = _ReplayFeeder(self, intensity_u8, depth_u16, timestamps)
+        for rec in records:
+            feeder.feed(rec)
+        feeder.finish()
 
-        for i in range(2, t):
-            rec = records[i]
+    def trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.graph.trajectory()
+
+
+class _ReplayFeeder:
+    """Incremental consumer of front-end records: the _replay state
+    machine fed one record at a time, so the PIPELINED driver can hand
+    each scan chunk's records to the (worker-threaded) back end while the
+    next chunk is still uploading/scanning.  Results are identical to the
+    batch loop — the machine is strictly forward."""
+
+    def __init__(self, slam: "StreamingSLAM", intensity_u8, depth_u16,
+                 timestamps):
+        self.slam = slam
+        self.mk = lambda i: slam._frame(intensity_u8, depth_u16, timestamps, i)
+        self.timestamps = timestamps
+        self.kcfg = slam.cfg.keyframe
+        self._i = 0
+        self._kf_index = 0
+        self._prev_pose = None
+        self.local_map: Optional[LocalMap] = None
+        self.evaluation: Optional[_ReplayEvaluation] = None
+
+    def feed(self, rec: FrameRecord):
+        i = self._i
+        self._i += 1
+        if i == 0:
+            self._first_pose = rec.pose
+        elif i == 1:
+            self.local_map = LocalMap.create(self.mk(0), self._first_pose)
+            self.local_map.add_frame(_StubFrame(self.timestamps[1], 1))
+            self.local_map.add_keyframe_measurement(rec.kf_T, rec.kf_info)
+            self.evaluation = _ReplayEvaluation(-rec.kf_nll)
+        else:
             # the entropy criterion's add() side effect fires whenever ITS
             # vote passes — even on frames other criteria reject; the host
             # loop runs all criteria before branching
             # (keyframe_tracker.cpp:105-121, local_tracker.cpp:192)
-            if rec.entropy_ratio > kcfg.min_entropy_ratio:
-                evaluation.add_value(-rec.kf_nll)
+            if rec.entropy_ratio > self.kcfg.min_entropy_ratio:
+                self.evaluation.add_value(-rec.kf_nll)
             if rec.accept:
-                local_map.add_frame(_StubFrame(timestamps[i], i))
-                local_map.add_odometry_measurement(rec.odo_T, rec.odo_info)
-                local_map.add_keyframe_measurement(rec.kf_T, rec.kf_info)
+                self.local_map.add_frame(_StubFrame(self.timestamps[i], i))
+                self.local_map.add_odometry_measurement(rec.odo_T, rec.odo_info)
+                self.local_map.add_keyframe_measurement(rec.kf_T, rec.kf_info)
             else:
                 new_kf_index = getattr(
-                    local_map.current_frame, "index", kf_index
+                    self.local_map.current_frame, "index", self._kf_index
                 )
-                local_map.evaluation = evaluation
+                self.local_map.evaluation = self.evaluation
                 # the completed map's current frame must be a REAL frame:
                 # it becomes the next keyframe in the graph
-                local_map.current_frame = mk(new_kf_index)
-                self.graph.add(local_map)
+                self.local_map.current_frame = self.mk(new_kf_index)
+                self.slam.graph.add(self.local_map)
                 # the new map anchors at the previous frame's pose
                 # (local_tracker.cpp:200-213)
-                old_pose = records[i - 1].pose
-                local_map = LocalMap.create(mk(new_kf_index), old_pose)
-                local_map.add_frame(_StubFrame(timestamps[i], i))
-                local_map.add_keyframe_measurement(
+                self.local_map = LocalMap.create(
+                    self.mk(new_kf_index), self._prev_pose
+                )
+                self.local_map.add_frame(_StubFrame(self.timestamps[i], i))
+                self.local_map.add_keyframe_measurement(
                     rec.odo_T if np.isfinite(rec.odo_T).all() else np.eye(4),
                     rec.odo_info,
                 )
-                evaluation = _ReplayEvaluation(-rec.odo_nll)
-                kf_index = new_kf_index
-        # flush the tail map (KeyframeTracker.finish semantics)
-        if local_map.num_frames > 0:
-            local_map.evaluation = evaluation
-            idx = getattr(local_map.current_frame, "index", kf_index)
-            local_map.current_frame = mk(idx)
-            self.graph.add(local_map)
+                self.evaluation = _ReplayEvaluation(-rec.odo_nll)
+                self._kf_index = new_kf_index
+        self._prev_pose = rec.pose
 
-    def trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
-        return self.graph.trajectory()
+    def finish(self):
+        """Flush the tail map (KeyframeTracker.finish semantics)."""
+        if self.local_map is not None and self.local_map.num_frames > 0:
+            self.local_map.evaluation = self.evaluation
+            idx = getattr(self.local_map.current_frame, "index", self._kf_index)
+            self.local_map.current_frame = self.mk(idx)
+            self.slam.graph.add(self.local_map)
+            self.local_map = None

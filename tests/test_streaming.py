@@ -223,3 +223,28 @@ def test_streaming_survives_invalid_frame_mid_sequence():
     assert rel_err < 0.01, rel_err
     g_stamps, g_poses = ss.trajectory()
     assert np.isfinite(g_poses).all()
+
+
+@pytest.mark.slow
+def test_pipelined_track_sequence_matches_monolithic():
+    """pipeline_chunk segments the scan across jit calls with a carried
+    state — records, poses, and the final graph trajectory must be
+    BIT-IDENTICAL to the single-program form."""
+    poses = synthetic.circular_trajectory(13, radius=0.05, rot_amplitude=0.03)
+    iu8, du16 = _raw_sequence(poses)
+    stamps = np.arange(len(poses)) / 30.0
+
+    ss_a = StreamingSLAM(K, CFG)
+    est_a = ss_a.track_sequence(iu8, du16, stamps)
+    ss_b = StreamingSLAM(K, CFG)
+    est_b = ss_b.track_sequence(iu8, du16, stamps, pipeline_chunk=5)
+    np.testing.assert_array_equal(est_a, est_b)
+    assert len(ss_a.records) == len(ss_b.records) == len(poses)
+    for a, b in zip(ss_a.records, ss_b.records):
+        assert a.accept == b.accept and a.forced == b.forced
+        np.testing.assert_array_equal(a.kf_T, b.kf_T)
+        np.testing.assert_array_equal(a.odo_T, b.odo_T)
+    sa, pa = ss_a.trajectory()
+    sb, pb = ss_b.trajectory()
+    np.testing.assert_array_equal(sa, sb)
+    np.testing.assert_array_equal(pa, pb)
