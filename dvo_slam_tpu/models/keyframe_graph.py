@@ -118,8 +118,15 @@ class KeyframeGraph:
         """Block until the worker drained the queue; re-raise the FIRST
         worker exception here (the reference's thread would die silently —
         a deferred failure must still fail the caller).  The exception is
-        raised ONCE; the poisoned flag persists (see add())."""
+        raised ONCE; the poisoned flag persists (see add()).
+
+        No-op when called FROM the worker thread: map_changed callbacks
+        fire on the worker inside _new_keyframe (before task_done), and a
+        callback reading trajectory()/edge_errors() would otherwise join
+        the worker's own unfinished queue item and hang forever."""
         if self._thread is not None:
+            if threading.current_thread() is self._thread:
+                return
             self._queue.join()
         self._raise_worker_error()
 
@@ -130,11 +137,17 @@ class KeyframeGraph:
                 "keyframe-graph worker failed while processing a local map"
             ) from err
 
-    def shutdown(self, timeout: float = 30.0):
+    def shutdown(self, timeout: float = 30.0, raise_errors: bool = True):
         """Stop the worker.  If it fails to exit within ``timeout`` the
         hazard is raised, NOT swallowed: a zombie worker still inside a
         validation wave would race a successor graph sharing the same
-        validator (corrupting its prepared-artifact caches)."""
+        validator (corrupting its prepared-artifact caches).
+
+        ``raise_errors=False`` discards a captured worker error instead of
+        re-raising it — the path for callers DISCARDING the graph (e.g.
+        StreamingSLAM.reset after a poisoned back end): the documented
+        recovery action must not itself raise the failure it recovers
+        from.  The zombie-worker hazard above is raised regardless."""
         self._shutdown = True
         if self._thread is not None:
             self._queue.put(None)
@@ -146,7 +159,10 @@ class KeyframeGraph:
                     "validator caches)"
                 )
             self._thread = None
-        self._raise_worker_error()
+        if raise_errors:
+            self._raise_worker_error()
+        else:
+            self._worker_error = None
 
     def _worker(self):
         """Queue consumer (reference: execOptimization thread,
@@ -328,7 +344,14 @@ class KeyframeGraph:
         # validator keeps the best proposal per pair — while one wave
         # amortizes the per-dispatch relay cost across every proposal
         # (measured: the per-keyframe loop serialized ~K wave sets).
-        proposals = []
+        # One direction per unseen pair suffices: stage 1 constructs the
+        # exact reverse-direction proposals as its cross-validation
+        # inverses (with_identity/with_relative invert to each other's
+        # opposite orientation) and its removal logic keeps the BETTER
+        # accepted direction — and a same-wave retry of a rejected pair
+        # would see identical poses/initials, so it cannot change the
+        # outcome (the old per-keyframe loop's retry was a no-op too).
+        groups: List[List[ConstraintProposal]] = []  # one group per pair
         seen = set(self._existing_constraints)
         with self.timers.timing("constraint_search"):
             for keyframe in self.keyframes:
@@ -339,11 +362,38 @@ class KeyframeGraph:
                     if pair in seen:
                         continue
                     seen.add(pair)
-                    proposals.extend(self._make_proposals(keyframe, [c]))
+                    groups.append(self._make_proposals(keyframe, [c]))
+        # Validate in sub-waves bounded by DISTINCT TOUCHED FRAMES: one
+        # monolithic wave would hold every touched keyframe's prepared
+        # artifacts (~12 MB each) resident at once — hundreds of
+        # keyframes would exhaust the chip — while the validator's LRU
+        # only evicts between validate() calls.  Sub-waves advance in
+        # whole PAIR groups (a pair split across waves would defeat
+        # keep-best-per-pair and insert duplicate edges); pairs are
+        # unique across waves, so per-wave keep-best == global.
         with self.timers.timing("constraint_validation"):
-            proposals = self.validator.validate(proposals)
+            accepted: List[ConstraintProposal] = []
+            budget = self.validator.MAX_CACHED_FRAMES
+            start = 0
+            while start < len(groups):
+                frames: set = set()
+                end = start
+                while end < len(groups):
+                    g = groups[end]
+                    f = frames | {
+                        id(fr)
+                        for p in g
+                        for fr in (p.reference.frame, p.current.frame)
+                    }
+                    if len(f) > budget and end > start:
+                        break
+                    frames = f
+                    end += 1
+                wave = [p for g in groups[start:end] for p in g]
+                accepted.extend(self.validator.validate(wave))
+                start = end
         with self.timers.timing("constraint_insert"):
-            self._insert_constraints(proposals)
+            self._insert_constraints(accepted)
 
         max_level = 0
         if self.cfg.final_optimization_use_dense_graph:

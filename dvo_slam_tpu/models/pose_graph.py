@@ -1017,8 +1017,22 @@ class PoseGraph:
         self._n = 0
         self._e = 0
         self._vertex_ids: dict = {}
+        # structure cache: the compacted subgraph + its chain elimination
+        # structure are pure functions of (graph STRUCTURE, max_level) —
+        # vertex/edge sets, activity, levels, gauge — not of the poses.
+        # The dense final pass re-optimizes the SAME structure 10 rounds
+        # in a row (outlier pruning usually removes nothing after round
+        # 1), and the host O(N+E) compaction + chain walk + pow2 padding
+        # per round was ~half its per-round cost (VERDICT r4).  Mutators
+        # bump _struct_version; optimize() refreshes only the poses.
+        self._struct_version = 0
+        self._struct_cache = None  # ((version, max_level), entry dict)
         self._alloc_vertices(vertex_capacity)
         self._alloc_edges(edge_capacity)
+
+    def _touch_structure(self):
+        self._struct_version += 1
+        self._struct_cache = None
 
     def _alloc_vertices(self, cap):
         self.poses = np.tile(np.eye(4, dtype=self.dtype), (cap, 1, 1))
@@ -1048,8 +1062,11 @@ class PoseGraph:
         if key in self._vertex_ids:
             idx = self._vertex_ids[key]
             self.poses[idx] = np.asarray(pose, self.dtype)
+            if bool(self.fixed[idx]) != fixed:
+                self._touch_structure()  # gauge change
             self.fixed[idx] = fixed
             return idx
+        self._touch_structure()
         if self._n == len(self.poses):
             old_p, old_f = self.poses, self.fixed
             self._alloc_vertices(2 * len(old_p))
@@ -1076,6 +1093,7 @@ class PoseGraph:
 
     def set_fixed(self, key, fixed: bool = True):
         self.fixed[self._vertex_ids[key]] = fixed
+        self._touch_structure()
 
     def add_edge(
         self,
@@ -1120,6 +1138,7 @@ class PoseGraph:
         self.robust[k] = robust
         self.edge_level[k] = level
         self._e += 1
+        self._touch_structure()
         return k
 
     def rename_vertex(self, old_key, new_key):
@@ -1130,11 +1149,13 @@ class PoseGraph:
 
     def set_edge_level(self, edge_index: int, level: int):
         self.edge_level[edge_index] = level
+        self._touch_structure()
 
     def set_all_edge_levels(self, level: int):
         """Promote every edge into the optimized set (the dense final
         optimization mode, keyframe_graph.cpp:257-264)."""
         self.edge_level[: self._e] = level
+        self._touch_structure()
 
     def find_edge(self, key_i, key_j):
         """Index of the first active edge between two vertices (either
@@ -1175,6 +1196,7 @@ class PoseGraph:
     def deactivate_edges(self, edge_indices):
         """Mask out edges (the outlier-removal primitive)."""
         self.edge_active[np.asarray(edge_indices, np.int64)] = False
+        self._touch_structure()
 
     def to_arrays(self) -> GraphArrays:
         cap_v, cap_e = len(self.poses), len(self.edge_i)
@@ -1440,9 +1462,26 @@ class PoseGraph:
             return np.zeros(0, self.dtype)
         if algorithm not in ("gn", "lm"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
-        sub = self._compact_subgraph(max_level)
-        if sub is None:
+        # The compaction + chain walk depend only on STRUCTURE (see
+        # __init__): consecutive optimize() calls with no intervening
+        # mutation (the final pass's 10 rounds when outlier pruning
+        # removed nothing) reuse both and refresh only the poses.
+        key = (self._struct_version, max_level)
+        if self._struct_cache is not None and self._struct_cache[0] == key:
+            entry = self._struct_cache[1]
+        else:
+            sub0 = self._compact_subgraph(max_level)
+            entry = None if sub0 is None else {"sub": sub0}
+            self._struct_cache = (key, entry)
+        if entry is None:
             return np.zeros(0, self.dtype)
+        sub = entry["sub"]
+        sub.poses[: sub.n] = self.poses[sub.vidx]
+
+        def cached_chain():
+            if "chain" not in entry:
+                entry["chain"] = sub.chain_structure()
+            return entry["chain"]
 
         chain = None
         if solver == "auto":
@@ -1450,14 +1489,14 @@ class PoseGraph:
                 solver = "dense"
             else:
                 # computed ONCE and reused by the schur solve below
-                chain, self._real_sep_count = sub.chain_structure()
+                chain, self._real_sep_count = cached_chain()
                 sep_ok = (
                     chain is not None
                     and self._real_sep_count <= self.SCHUR_SEPARATOR_MAX_VERTICES
                 )
                 solver = "schur" if sep_ok else "cg"
         elif solver == "schur":
-            chain, self._real_sep_count = sub.chain_structure()
+            chain, self._real_sep_count = cached_chain()
             if chain is None:
                 # nothing to eliminate — the dense oracle IS the reduced
                 # system (or CG for big chain-free graphs)

@@ -475,7 +475,10 @@ class StreamingSLAM:
         graph but keeps the compiled front end and the validator's
         compiled alignment buckets (a deployed tracker restarting on a new
         sequence pays no recompilation)."""
-        self.graph.shutdown()  # don't leak the old optimizer worker
+        # don't leak the old optimizer worker; a captured worker error is
+        # DISCARDED with the graph (reset IS the documented recovery path
+        # after a poisoned back end — it must not re-raise the failure)
+        self.graph.shutdown(raise_errors=False)
         self.graph = KeyframeGraph(
             self.intrinsics, self.cfg.graph, self.cfg.tracker,
             validator=self.graph.validator,
@@ -556,6 +559,14 @@ class StreamingSLAM:
         overlap instead of running as three serial phases.  Records are
         BIT-IDENTICAL to the monolithic scan (the scan is merely
         segmented); None keeps the single-program form."""
+        if pipeline_chunk is not None and pipeline_chunk < 2:
+            # a 1-frame chunk would make run_first read frames [0] and [1]
+            # of a 1-row array (JAX clamps the OOB index -> silent
+            # duplicate bootstrap + misaligned records)
+            raise ValueError(
+                f"pipeline_chunk must be >= 2 (the first chunk holds the "
+                f"two bootstrap frames), got {pipeline_chunk}"
+            )
         if pipeline_chunk is None or intensity_u8.shape[0] <= pipeline_chunk:
             records, poses = self.track_frontend(
                 intensity_u8, depth_u16, initial, force_last

@@ -258,3 +258,68 @@ def test_checkpoint_resume_full_workflow(tmp_path):
     assert ate_res < 0.01, (ate_res, ate_full)
     # and the resumed accuracy is in the same class as uninterrupted
     assert ate_res < max(2.5 * ate_full, 0.005), (ate_res, ate_full)
+
+
+def test_map_changed_callback_on_worker_does_not_deadlock():
+    """A map_changed callback firing on the WORKER thread may read
+    trajectory()/edge_errors() (the live-viewer pattern,
+    interactive_viz.attach_live_viewer): their wait_for_queue must not
+    join the worker's own unfinished queue item — that self-join hung
+    forever and then wedged every later wait point."""
+    import time
+
+    from dvo_slam_tpu.models.keyframe_graph import KeyframeGraph
+
+    kg = KeyframeGraph(K, GraphConfig(), TrackerConfig(), use_threading=True)
+    hit = []
+
+    def fake_new_keyframe(m):
+        kg.trajectory()  # wait_for_queue from the worker itself
+        kg.edge_errors()
+        hit.append(True)
+
+    kg._new_keyframe = fake_new_keyframe
+    kg.add(object())
+    deadline = time.monotonic() + 20.0
+    while not hit and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert hit, "worker deadlocked joining its own queue item"
+    kg.wait_for_queue()  # main-thread wait still drains normally
+    kg.shutdown()
+
+
+def test_final_research_chunks_by_frame_budget():
+    """The dense final re-search must validate in sub-waves bounded by
+    distinct touched frames (one monolithic wave holds every keyframe's
+    ~12 MB prepared artifacts resident at once), advancing in whole pair
+    groups so keep-best-per-pair survives the chunking."""
+    from dvo_slam_tpu.models.frames import Keyframe
+    from dvo_slam_tpu.models.keyframe_graph import KeyframeGraph
+
+    kg = KeyframeGraph(K, GraphConfig(), TrackerConfig(), use_threading=False)
+    n = 9
+    for i in range(1, n + 1):
+        kf = Keyframe(id=i, frame=object(), pose=np.eye(4))
+        kg.keyframes.append(kf)
+        kg.graph.add_vertex(("kf", i), np.eye(4), fixed=(i == 1))
+    kg._find_candidates = lambda kf: [c for c in kg.keyframes if c is not kf]
+
+    waves = []
+    kg.validator.MAX_CACHED_FRAMES = 4
+    kg.validator.validate = lambda props: (waves.append(props), [])[1]
+    kg.final_optimization()
+
+    assert len(waves) > 1  # chunked, not monolithic
+    n_pairs = (n * (n - 1)) // 2 - (n - 1)  # all non-adjacent pairs
+    assert sum(len(w) for w in waves) == 2 * n_pairs
+    pair_waves = {}
+    for wi, w in enumerate(waves):
+        # every wave respects the frame budget
+        frames = {id(f) for p in w for f in (p.reference.frame, p.current.frame)}
+        assert len(frames) <= 4, len(frames)
+        for p in w:
+            pair = frozenset({p.reference.id, p.current.id})
+            pair_waves.setdefault(pair, set()).add(wi)
+    # each pair appears exactly twice (identity + relative), in ONE wave
+    assert all(len(ws) == 1 for ws in pair_waves.values())
+    assert len(pair_waves) == n_pairs

@@ -512,3 +512,43 @@ def test_device_fault_degrades_to_host_sparse(monkeypatch):
     # edges carry 5e-3 noise, so the optimum sits near (not at) the truth
     for i in range(10):
         assert _pose_err(g.vertex_pose(i), true[i]) < 2e-2, i
+
+
+def test_structure_cache_reused_across_rounds_and_invalidated():
+    """Consecutive optimize() calls with no structural mutation (the
+    final pass's 10 rounds when outlier pruning removed nothing) must
+    reuse the compacted subgraph + chain structure and produce EXACTLY
+    the poses of a cache-cold solve; any mutation must invalidate."""
+    g1, _ = _ring_graph(24, loops=((3, 12), (8, 20)))
+    g2, _ = _ring_graph(24, loops=((3, 12), (8, 20)))
+
+    compactions = []
+    orig = g1._compact_subgraph
+    g1._compact_subgraph = lambda ml: (compactions.append(1), orig(ml))[1]
+
+    for _ in range(3):
+        g1.optimize(4, algorithm="lm", tol=0.0)
+    assert len(compactions) == 1  # rounds 2-3 hit the cache
+
+    for _ in range(3):
+        g2._touch_structure()  # force cache-cold every round
+        g2.optimize(4, algorithm="lm", tol=0.0)
+    np.testing.assert_array_equal(
+        g1.poses[: g1.num_vertices], g2.poses[: g2.num_vertices]
+    )
+
+    # every structural mutator invalidates
+    g1.add_edge(5, 15, np.eye(4), np.eye(6))
+    g1.optimize(1)
+    assert len(compactions) == 2
+    g1.set_edge_level(g1.num_edges - 1, 2)
+    g1.optimize(1)
+    assert len(compactions) == 3
+    g1.deactivate_edges([g1.num_edges - 1])
+    g1.optimize(1)
+    assert len(compactions) == 4
+    g1.set_all_edge_levels(0)
+    g1.optimize(1)
+    assert len(compactions) == 5
+    g1.optimize(1)
+    assert len(compactions) == 5  # unchanged structure -> cached again

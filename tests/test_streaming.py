@@ -248,3 +248,27 @@ def test_pipelined_track_sequence_matches_monolithic():
     sb, pb = ss_b.trajectory()
     np.testing.assert_array_equal(sa, sb)
     np.testing.assert_array_equal(pa, pb)
+
+
+def test_pipeline_chunk_of_one_rejected():
+    """pipeline_chunk=1 would silently corrupt records (the chunked
+    bootstrap reads frames [0] and [1]; JAX clamps the OOB index)."""
+    ss = StreamingSLAM(K, CFG)
+    iu8 = np.zeros((4,) + SHAPE, np.uint8)
+    du16 = np.ones((4,) + SHAPE, np.uint16)
+    with pytest.raises(ValueError, match="pipeline_chunk"):
+        ss.track_sequence(iu8, du16, np.arange(4) / 30.0, pipeline_chunk=1)
+    ss.graph.shutdown()
+
+
+def test_reset_after_poisoned_backend_recovers():
+    """reset() is the documented recovery path after a back-end failure:
+    it must discard the poisoned graph WITHOUT re-raising the captured
+    worker error, and the fresh graph must accept work."""
+    ss = StreamingSLAM(K, CFG)
+    ss.graph.add(object())  # poison the worker
+    ss.graph._queue.join()
+    assert ss.graph._poisoned
+    ss.reset()  # must not raise
+    assert not ss.graph._poisoned
+    ss.graph.shutdown()
