@@ -24,7 +24,7 @@ from ..config import GraphConfig, TrackerConfig
 from ..ops.camera import Intrinsics
 from .dense_tracker import TrackingResult
 from .evaluation import TrackingResultEvaluation
-from .frames import BatchedMatcher, Keyframe
+from .frames import BatchedMatcher, Keyframe, TwoStageMatcher
 from .local_tracker import result_is_nan
 
 
@@ -162,12 +162,25 @@ class ConstraintProposalValidator:
         tracker_cfg: TrackerConfig,
     ):
         self.cfg = graph_cfg
+        fine_cfg = constraint_tracker_config(tracker_cfg)
+        coarse_cfg = validation_tracker_config(tracker_cfg)
+        # Stage 1 (coarse screen) matches over stage 2's FINE prepared
+        # artifacts: per-level artifacts are identical between the two
+        # configs (same thresholds/backend; the configs differ only in
+        # which levels they solve), so one prepared set per frame serves
+        # both stages — stage 1's own prepare dispatch is deleted and
+        # stage 2 never re-prepares frames stage 1 already touched.
+        self.stage2_matcher = BatchedMatcher(fine_cfg, intrinsics)
         self.stage1_matcher = BatchedMatcher(
-            validation_tracker_config(tracker_cfg), intrinsics
+            coarse_cfg, intrinsics, artifact_cfg=fine_cfg,
         )
-        self.stage2_matcher = BatchedMatcher(
-            constraint_tracker_config(tracker_cfg), intrinsics
-        )
+        # Fused wave (default): both stages + both directions in ONE
+        # device dispatch (TwoStageMatcher); the staged matchers above
+        # remain the parity oracle (use_fused_wave=False) and the evict
+        # surface.  Round 4 measured the staged form's per-event host
+        # round trips at 13.4 ms/frame — 46% of the e2e budget.
+        self.use_fused_wave = True
+        self.two_stage = TwoStageMatcher(coarse_cfg, fine_cfg, intrinsics)
         self._lru: Dict[int, object] = {}  # id(frame) -> frame, insertion-ordered
 
     def _retain(self, frames):
@@ -190,11 +203,42 @@ class ConstraintProposalValidator:
             for f in (p.reference.frame, p.current.frame)
         }
         try:
-            proposals = self._stage1(proposals)
-            proposals = self._stage2(proposals)
+            if self.use_fused_wave and proposals:
+                proposals = self._validate_fused(proposals)
+            else:
+                proposals = self._stage1(proposals)
+                proposals = self._stage2(proposals)
         finally:
             self._retain(touched.values())
         return proposals
+
+    def _validate_fused(
+        self, proposals: List[ConstraintProposal]
+    ) -> List[ConstraintProposal]:
+        """Both stages from ONE fused device wave (TwoStageMatcher): the
+        voting below is the SAME host logic as the staged path, applied
+        to precomputed results — stage 2's matches were seeded on device
+        by their own direction's stage-1 transformation, exactly what
+        _update_initials feeds the staged stage-2 dispatch."""
+        quads = self.two_stage.match_pairs(
+            [
+                (p.reference.frame, p.current.frame, p.initial_pose)
+                for p in proposals
+            ]
+        )
+        pairs = []
+        stage2_result = {}
+        for p, (r1f, r1b, r2f, r2b) in zip(proposals, quads):
+            inv = p.inverse()
+            p.result, p.votes = r1f, []
+            inv.result, inv.votes = r1b, []
+            pairs.append((p, inv))
+            stage2_result[id(p)] = r2f
+            stage2_result[id(inv)] = r2b
+        survivors = self._stage1_vote(pairs)
+        for p in survivors:
+            p.result, p.votes = stage2_result[id(p)], []
+        return self._stage2_vote(survivors)
 
     # -- stages -----------------------------------------------------------
     def _match_all(self, matcher: BatchedMatcher, proposals):
@@ -215,14 +259,18 @@ class ConstraintProposalValidator:
             inv = p.inverse()
             pairs.append((p, inv))
             additional.append(inv)
-        all_props = proposals + additional
 
-        self._match_all(self.stage1_matcher, all_props)
+        self._match_all(self.stage1_matcher, proposals + additional)
+        return self._stage1_vote(pairs)
 
+    def _stage1_vote(self, pairs) -> List[ConstraintProposal]:
+        """Stage-1 voting/removal over matched (forward, backward) pairs
+        (results already attached)."""
         inverse_of = {}
         for a, b in pairs:
             inverse_of[id(a)] = b
             inverse_of[id(b)] = a
+        all_props = [p for fb in pairs for p in fb]
 
         for p in all_props:
             self._vote(
@@ -253,6 +301,12 @@ class ConstraintProposalValidator:
         if not proposals:
             return []
         self._match_all(self.stage2_matcher, proposals)
+        return self._stage2_vote(proposals)
+
+    def _stage2_vote(
+        self, proposals: List[ConstraintProposal]
+    ) -> List[ConstraintProposal]:
+        """Stage-2 voting + keep-best (results already attached)."""
         for p in proposals:
             self._vote(
                 p,

@@ -44,6 +44,26 @@ def _pyramid_builder(num_levels: int):
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _raw_pyramid_builder(num_levels: int):
+    """Pyramid build from RAW camera arrays (u8 intensity, u16 depth):
+    the u8->f32 cast and the TUM u16/5000 depth conversion run ON DEVICE,
+    so the host->device transfer ships 3 bytes/pixel instead of the 9 of
+    pre-converted f32+f32+bool — through this sandbox's ~27 MB/s relay
+    that's the difference between ~0.1 s and ~0.033 s per keyframe Frame
+    (the replay feeder builds one per keyframe while the scan runs).
+    Bit-exact: both paths perform the same IEEE f32 ops."""
+    from ..ops.pyramid import convert_raw_depth
+
+    def build(intensity_u8, depth_u16):
+        depth, valid = convert_raw_depth(depth_u16)
+        return build_pyramid(
+            intensity_u8.astype(jnp.float32), depth, valid, num_levels
+        )
+
+    return jax.jit(build)
+
+
 @dataclass
 class Frame:
     """A device-resident RGB-D frame pyramid with host metadata."""
@@ -58,6 +78,17 @@ class Frame:
                 jnp.asarray(intensity, jnp.float32),
                 jnp.asarray(depth, jnp.float32),
                 jnp.asarray(valid),
+            ),
+            timestamp=timestamp,
+        )
+
+    @staticmethod
+    def from_raw(intensity_u8, depth_u16, timestamp: float, num_levels: int) -> "Frame":
+        """Build from raw camera arrays; conversion happens on device
+        (see _raw_pyramid_builder — 3x fewer upload bytes, bit-exact)."""
+        return Frame(
+            levels=_raw_pyramid_builder(num_levels)(
+                jnp.asarray(intensity_u8), jnp.asarray(depth_u16)
             ),
             timestamp=timestamp,
         )
@@ -191,36 +222,64 @@ class BatchedMatcher:
     _WAVE_FNS: dict = {}
     _PREPARE_JITS: dict = {}
 
-    def __init__(self, cfg: TrackerConfig, intrinsics: Intrinsics):
+    def __init__(
+        self,
+        cfg: TrackerConfig,
+        intrinsics: Intrinsics,
+        artifact_cfg: Optional[TrackerConfig] = None,
+    ):
+        """``artifact_cfg``: prepare frames under THIS config instead of
+        ``cfg`` (default: ``cfg`` itself).  Per-level artifacts (selection
+        mask, refpack, quad table) are identical between configs sharing
+        thresholds/backend — they differ only in WHICH levels exist — so a
+        matcher solving a sub-range (the coarse validation screen) can
+        read the fine config's artifacts directly.  One prepared set per
+        frame replaces one per stage, deleting a full prepare dispatch
+        round trip per validation wave (~30 ms through this sandbox's
+        relay)."""
         self.cfg = cfg
         self.intrinsics = intrinsics
-        self._key = (cfg, intrinsics)
-        self._cache = BatchedMatcher._WAVE_FNS.setdefault(self._key, {})
-        if self._key not in BatchedMatcher._PREPARE_JITS:
-            BatchedMatcher._PREPARE_JITS[self._key] = jax.jit(
-                functools.partial(prepare_frame, cfg, intrinsics)
+        self.artifact_cfg = cfg if artifact_cfg is None else artifact_cfg
+        if (
+            self.artifact_cfg.first_level < cfg.first_level
+            or self.artifact_cfg.last_level > cfg.last_level
+        ):
+            raise ValueError(
+                "artifact_cfg level range must cover the match config's: "
+                f"artifacts {self.artifact_cfg.last_level}.."
+                f"{self.artifact_cfg.first_level} vs match "
+                f"{cfg.last_level}..{cfg.first_level}"
             )
-        self._prepare_jit = BatchedMatcher._PREPARE_JITS[self._key]
+        self._key = (cfg, intrinsics)
+        self._prep_key = (self.artifact_cfg, intrinsics)
+        self._cache = BatchedMatcher._WAVE_FNS.setdefault(self._key, {})
+        self._prep_cache = BatchedMatcher._WAVE_FNS.setdefault(
+            ("prep", self._prep_key), {}
+        )
+        if self._prep_key not in BatchedMatcher._PREPARE_JITS:
+            BatchedMatcher._PREPARE_JITS[self._prep_key] = jax.jit(
+                functools.partial(prepare_frame, self.artifact_cfg, intrinsics)
+            )
+        self._prepare_jit = BatchedMatcher._PREPARE_JITS[self._prep_key]
 
     def prepared(self, frame: Frame) -> PreparedFrame:
         """The frame's cached solver artifacts (computed on first use).
 
-        The cache lives on the Frame, keyed by (cfg, intrinsics), so its
-        device memory is released with the frame and a reconfigured
+        The cache lives on the Frame, keyed by (artifact_cfg, intrinsics),
+        so its device memory is released with the frame and a reconfigured
         matcher never reuses stale artifacts.
         """
         cache = frame.__dict__.setdefault("_prepared", {})
-        key = (self.cfg, self.intrinsics)
-        if key not in cache:
-            cache[key] = self._prepare_jit(frame.levels)
-        return cache[key]
+        if self._prep_key not in cache:
+            cache[self._prep_key] = self._prepare_jit(frame.levels)
+        return cache[self._prep_key]
 
     def evict(self, frame: Frame):
         """Release this matcher's cached artifacts for a frame (used when a
         keyframe retires from active tracking; its Frame lives on in the
         graph for loop-closure validation, which prepares under its own
         coarser config key)."""
-        frame.__dict__.get("_prepared", {}).pop((self.cfg, self.intrinsics), None)
+        frame.__dict__.get("_prepared", {}).pop(self._prep_key, None)
 
     def _prepare_many(self, frames):
         """Prepare every UNPREPARED frame of a wave in ONE unrolled jit
@@ -231,7 +290,7 @@ class BatchedMatcher:
         subgraphs, never slices of a stacked buffer — the gather-rate
         invariant, interp._quad_sampler).  Padded slots repeat the last
         frame; only first occurrences are cached."""
-        key = (self.cfg, self.intrinsics)
+        key = self._prep_key
         todo, seen = [], set()
         for f in frames:
             cache = f.__dict__.setdefault("_prepared", {})
@@ -240,17 +299,20 @@ class BatchedMatcher:
                 todo.append(f)
         if not todo:
             return
-        # FIXED chunk size: exactly one executable per matcher, so a warm
-        # run closes the compile set (per-count buckets compiled fresh
-        # executables mid-benchmark through the remote-compile tunnel)
+        # FIXED chunk size: exactly one executable per artifact config, so
+        # a warm run closes the compile set (per-count buckets compiled
+        # fresh executables mid-benchmark through the remote-compile
+        # tunnel)
         chunk = 4
         ck = ("prep_many", chunk)
-        if ck not in self._cache:
-            single = functools.partial(prepare_frame, self.cfg, self.intrinsics)
-            self._cache[ck] = jax.jit(
+        if ck not in self._prep_cache:
+            single = functools.partial(
+                prepare_frame, self.artifact_cfg, self.intrinsics
+            )
+            self._prep_cache[ck] = jax.jit(
                 lambda levels: tuple(single(lv) for lv in levels)
             )
-        fn = self._cache[ck]
+        fn = self._prep_cache[ck]
         for i in range(0, len(todo), chunk):
             part = todo[i : i + chunk]
             padded = part + [part[-1]] * (chunk - len(part))
@@ -262,12 +324,19 @@ class BatchedMatcher:
         if batch not in self._cache:
             single = functools.partial(match_prepared, self.cfg, self.intrinsics)
 
-            def flat_batch(ref_b, cur_b, quads, streams, init_b):
-                # cur quad tables ride OUTSIDE the vmap as per-proposal
+            def flat_batch(refs, curs, quads, streams, init_b):
+                # Per-request prepared frames arrive as TUPLES and stack
+                # INSIDE the program: eager host-side stacking is one
+                # relay dispatch per pytree leaf before the wave starts
+                # (and fine-prepared frames carry ~12 MB of leaves).
+                # Cur quad tables ride OUTSIDE the vmap as per-proposal
                 # tuples of STANDALONE arrays selected by stream index —
                 # stacked [B, 32, N] tables make every solver-loop gather
                 # read slices of one big buffer, ~3x slower than the same
                 # gathers on standalone tables (interp._quad_sampler)
+                ref_b = jax.tree.map(lambda *xs: jnp.stack(xs), *refs)
+                cur_b = jax.tree.map(lambda *xs: jnp.stack(xs), *curs)
+
                 def one(r, c, s, i):
                     if quads is not None:
                         return _flatten_result(
@@ -322,9 +391,8 @@ class BatchedMatcher:
             for r in requests
         ] + [np.eye(4, dtype=np.float32)] * pad
 
-        ref_b = jax.tree.map(lambda *xs: jnp.stack(xs), *refs)
         # current-role quad tables stay per-proposal STANDALONE arrays
-        # (never stacked — see _fn); everything else stacks for the vmap
+        # (never stacked — see _fn); everything else stacks IN-PROGRAM
         fused = any(q is not None for q in curs[0].quad)
         if fused:
             quads = tuple(
@@ -337,13 +405,184 @@ class BatchedMatcher:
             curs = [c._replace(quad=none_quad) for c in curs]
         else:
             quads = None
-        cur_b = jax.tree.map(lambda *xs: jnp.stack(xs), *curs)
         streams = interp.lockstep_stream_indices(bucket)
         init_b = jnp.asarray(np.stack(inits))
         flat = np.asarray(
-            self._fn(bucket)(ref_b, cur_b, quads, streams, init_b)
+            self._fn(bucket)(tuple(refs), tuple(curs), quads, streams, init_b)
         )  # one download
         return [_decode_result(flat[i]) for i in range(n)]
 
     def match(self, ref: Frame, cur: Frame, initial=None) -> HostTrackingResult:
         return self.match_many([(ref, cur, initial)])[0]
+
+
+class TwoStageMatcher:
+    """Fused two-stage validation wave: ONE dispatch computes, per frame
+    pair, the coarse forward + backward screens AND the fine forward +
+    backward refinements seeded by their own coarse results.
+
+    The reference's proposal validator runs its two stages as separate
+    tracker passes with host logic between
+    (constraint_proposal_validator.cpp:69-160); here the host round trip
+    between stages costs ~2 relay dispatches + a download (~80 ms) PER
+    KEYFRAME EVENT, which round 4 measured as 46% of the e2e frame
+    budget.  Stage 1's vote/removal logic only ever selects WHICH
+    direction's stage-2 solve to keep — so the device simply computes
+    stage 2 for BOTH directions (the extra solves ride the same wave; a
+    vmap lane is far cheaper than a dispatch) and the host applies the
+    exact same voting to precomputed results.  4 solves per pair, one
+    [B, 2*F1+2*F2] download.
+
+    Artifacts are prepared ONCE under the fine config and shared by the
+    coarse solves (per-level artifacts are config-independent; the coarse
+    config just reads fewer levels — see BatchedMatcher.artifact_cfg).
+    """
+
+    def __init__(
+        self,
+        coarse_cfg: TrackerConfig,
+        fine_cfg: TrackerConfig,
+        intrinsics: Intrinsics,
+    ):
+        self.coarse_cfg = coarse_cfg
+        self.fine_cfg = fine_cfg
+        self.intrinsics = intrinsics
+        # artifact owner: prepares/evicts under the fine config's key
+        self.artifacts = BatchedMatcher(fine_cfg, intrinsics)
+        self._key = ("two_stage", coarse_cfg, fine_cfg, intrinsics)
+        self._cache = BatchedMatcher._WAVE_FNS.setdefault(self._key, {})
+        # flat widths of one coarse / fine result (for the host decode)
+        self._f1 = _FLAT_BASE + 4 * (coarse_cfg.first_level - coarse_cfg.last_level + 1)
+        self._f2 = _FLAT_BASE + 4 * (fine_cfg.first_level - fine_cfg.last_level + 1)
+
+    def _fn(self, batch: int):
+        if batch not in self._cache:
+            from ..ops import se3
+
+            coarse = functools.partial(
+                match_prepared, self.coarse_cfg, self.intrinsics
+            )
+            fine = functools.partial(match_prepared, self.fine_cfg, self.intrinsics)
+
+            def flat_batch(refs, curs, ref_quads, cur_quads, streams, init_b):
+                # per-pair prepared frames arrive as TUPLES and are
+                # stacked INSIDE the program: an eager host-side stack of
+                # the fine artifacts is one relay dispatch per pytree
+                # leaf (~12 MB of HBM traffic each) before the wave even
+                # starts.  Quad tables ride OUTSIDE the vmap as per-pair
+                # tuples of STANDALONE arrays selected positionally by
+                # stream index (the gather-rate invariant — see
+                # BatchedMatcher._fn); each frame serves BOTH roles, so
+                # both sides' tables are passed (ref's tables feed the
+                # backward solves).
+                ref_b = jax.tree.map(lambda *xs: jnp.stack(xs), *refs)
+                cur_b = jax.tree.map(lambda *xs: jnp.stack(xs), *curs)
+
+                def one(r, c, s, i):
+                    if cur_quads is not None:
+                        cq = c._replace(quad=cur_quads)
+                        rq = r._replace(quad=ref_quads)
+                        kw_f = dict(stream_index=s)
+                        kw_b = dict(stream_index=s)
+                    else:
+                        cq, rq = c, r
+                        kw_f = kw_b = {}
+                    i_inv = se3.inverse(i)
+                    t1f = coarse(r, cq, i, **kw_f)
+                    t1b = coarse(c, rq, i_inv, **kw_b)
+                    t2f = fine(r, cq, t1f.transformation, **kw_f)
+                    t2b = fine(c, rq, t1b.transformation, **kw_b)
+                    return jnp.concatenate(
+                        [
+                            _flatten_result(t1f),
+                            _flatten_result(t1b),
+                            _flatten_result(t2f),
+                            _flatten_result(t2b),
+                        ]
+                    )
+
+                return jax.vmap(one, in_axes=(0, 0, 0, 0))(
+                    ref_b, cur_b, streams, init_b
+                )
+
+            self._cache[batch] = jax.jit(flat_batch)
+        return self._cache[batch]
+
+    def match_pairs(
+        self,
+        requests: Sequence[Tuple[Frame, Frame, Optional[np.ndarray]]],
+    ) -> List[
+        Tuple[
+            HostTrackingResult,
+            HostTrackingResult,
+            HostTrackingResult,
+            HostTrackingResult,
+        ]
+    ]:
+        """[(ref, cur, init), ...] -> [(s1_fwd, s1_bwd, s2_fwd, s2_bwd)]
+        where the stage-2 results were seeded by the matching direction's
+        stage-1 transformation (the validator's feed-forward)."""
+        if not requests:
+            return []
+        n = len(requests)
+        # buckets {2, 4, 8}: each slot is 4 unrolled solves, so bucket 8
+        # traces like a 32-wide single-stage wave; chunk past 8
+        if n > 8:
+            out = []
+            for s in range(0, n, 8):
+                out.extend(self.match_pairs(requests[s : s + 8]))
+            return out
+        bucket = 2 if n <= 2 else (4 if n <= 4 else 8)
+        pad = bucket - n
+        self.artifacts._prepare_many(
+            [f for r in requests for f in (r[0], r[1])]
+        )
+        refs = [self.artifacts.prepared(r[0]) for r in requests]
+        curs = [self.artifacts.prepared(r[1]) for r in requests]
+        refs += [refs[-1]] * pad
+        curs += [curs[-1]] * pad
+        inits = [
+            np.eye(4, dtype=np.float32) if r[2] is None
+            else np.asarray(r[2], np.float32)
+            for r in requests
+        ] + [np.eye(4, dtype=np.float32)] * pad
+
+        fused = any(q is not None for q in curs[0].quad)
+        if fused:
+            levels = len(curs[0].quad)
+            cur_quads = tuple(
+                None if curs[0].quad[lv] is None
+                else tuple(c.quad[lv] for c in curs)
+                for lv in range(levels)
+            )
+            ref_quads = tuple(
+                None if refs[0].quad[lv] is None
+                else tuple(r.quad[lv] for r in refs)
+                for lv in range(levels)
+            )
+            none_quad = (None,) * levels
+            refs = [r._replace(quad=none_quad) for r in refs]
+            curs = [c._replace(quad=none_quad) for c in curs]
+        else:
+            cur_quads = ref_quads = None
+        streams = interp.lockstep_stream_indices(bucket)
+        init_b = jnp.asarray(np.stack(inits))
+        flat = np.asarray(
+            self._fn(bucket)(
+                tuple(refs), tuple(curs), ref_quads, cur_quads, streams,
+                init_b,
+            )
+        )  # ONE download for both stages, both directions
+        f1, f2 = self._f1, self._f2
+        out = []
+        for k in range(n):
+            row = flat[k]
+            out.append(
+                (
+                    _decode_result(row[:f1]),
+                    _decode_result(row[f1 : 2 * f1]),
+                    _decode_result(row[2 * f1 : 2 * f1 + f2]),
+                    _decode_result(row[2 * f1 + f2 :]),
+                )
+            )
+        return out

@@ -645,12 +645,11 @@ class StreamingSLAM:
         return records, poses
 
     def _frame(self, intensity_u8, depth_u16, timestamps, i) -> Frame:
-        depth = np.asarray(depth_u16[i], np.float32) / 5000.0
-        valid = np.asarray(depth_u16[i]) > 0
-        return Frame.from_arrays(
-            np.asarray(intensity_u8[i], np.float32),
-            np.where(valid, depth, 0.0),
-            valid,
+        # raw u8/u16 upload; u16/5000 + validity conversion on device
+        # (bit-exact vs the host form — convert_raw_depth)
+        return Frame.from_raw(
+            np.asarray(intensity_u8[i]),
+            np.asarray(depth_u16[i]),
             timestamps[i],
             self.cfg.tracker.num_levels,
         )
