@@ -1027,12 +1027,27 @@ class PoseGraph:
         # bump _struct_version; optimize() refreshes only the poses.
         self._struct_version = 0
         self._struct_cache = None  # ((version, max_level), entry dict)
+        # convergence memo: an optimize() whose LM loop exited via the
+        # |delta chi2| < tol test has reached its fixed point for the
+        # current (structure, poses); re-solving the identical state (the
+        # final pass's remaining rounds when outlier pruning removed
+        # nothing — the reference's g2o happily re-pays the solve,
+        # keyframe_graph.cpp:266-281) costs a full Schur factorization
+        # per round for zero movement.  Keyed on both versions so ANY
+        # mutation invalidates.  edge_diagnostics memoizes the same way
+        # (outlier pruning calls it every round).
+        self._poses_version = 0
+        self._converged_memo = None
+        self._diag_memo = None
         self._alloc_vertices(vertex_capacity)
         self._alloc_edges(edge_capacity)
 
     def _touch_structure(self):
         self._struct_version += 1
         self._struct_cache = None
+
+    def _touch_poses(self):
+        self._poses_version += 1
 
     def _alloc_vertices(self, cap):
         self.poses = np.tile(np.eye(4, dtype=self.dtype), (cap, 1, 1))
@@ -1062,11 +1077,13 @@ class PoseGraph:
         if key in self._vertex_ids:
             idx = self._vertex_ids[key]
             self.poses[idx] = np.asarray(pose, self.dtype)
+            self._touch_poses()
             if bool(self.fixed[idx]) != fixed:
                 self._touch_structure()  # gauge change
             self.fixed[idx] = fixed
             return idx
         self._touch_structure()
+        self._touch_poses()
         if self._n == len(self.poses):
             old_p, old_f = self.poses, self.fixed
             self._alloc_vertices(2 * len(old_p))
@@ -1090,6 +1107,7 @@ class PoseGraph:
 
     def set_vertex_pose(self, key, pose):
         self.poses[self._vertex_ids[key]] = np.asarray(pose, self.dtype)
+        self._touch_poses()
 
     def set_fixed(self, key, fixed: bool = True):
         self.fixed[self._vertex_ids[key]] = fixed
@@ -1462,6 +1480,21 @@ class PoseGraph:
             return np.zeros(0, self.dtype)
         if algorithm not in ("gn", "lm"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
+        # Convergence memo (see __init__): identical (structure, poses,
+        # objective) to a solve that already exited via the tol test —
+        # the state IS the fixed point; return its final chi2 instead of
+        # re-factorizing for a zero-length step.
+        solver_arg = solver  # memo keys use the PRE-resolution name
+        memo_key = (
+            self._struct_version, self._poses_version, max_level, solver,
+            algorithm, delta, tol,
+        )
+        if (
+            tol > 0.0
+            and self._converged_memo is not None
+            and self._converged_memo[0] == memo_key
+        ):
+            return np.asarray(self._converged_memo[1]).copy()
         # The compaction + chain walk depend only on STRUCTURE (see
         # __init__): consecutive optimize() calls with no intervening
         # mutation (the final pass's 10 rounds when outlier pruning
@@ -1529,7 +1562,28 @@ class PoseGraph:
                     iterations, delta, sub.to_graph_arrays(), algorithm, tol
                 )
         self.poses[sub.vidx] = out_poses[: sub.n].astype(self.dtype, copy=False)
-        return np.asarray(history)
+        self._touch_poses()
+        history = np.asarray(history)
+        # Memo only a solve the tol test actually terminated: the padded
+        # history repeats the final chi2 past the exit point, so a tail
+        # |delta| below tol distinguishes a converged fixed point from a
+        # budget exhausted mid-descent.
+        if (
+            tol > 0.0
+            and history.shape[0] >= 2
+            and abs(float(history[-1]) - float(history[-2]))
+            < tol * max(abs(float(history[-1])), 1e-30)
+        ):
+            self._converged_memo = (
+                (
+                    self._struct_version, self._poses_version, max_level,
+                    solver_arg, algorithm, delta, tol,
+                ),
+                history.copy(),
+            )
+        else:
+            self._converged_memo = None
+        return history
 
     def _solve_compact(self, sub, chain, iterations, delta, solver, algorithm,
                        tol):
@@ -1619,7 +1673,13 @@ class PoseGraph:
         """(robust_weight, chi2) per active edge — the EdgeErrorSerializer
         data (reference: map_serializer.cpp:76-93).  Host-pinned like the
         solves: outlier pruning calls this once per final-pass round, and
-        a relay dispatch per round is pure overhead."""
+        a relay dispatch per round is pure overhead.  Memoized on the
+        (structure, poses) versions: a pure function of graph state, and
+        converged final-pass rounds re-query the identical state."""
+        memo_key = (self._struct_version, self._poses_version)
+        if self._diag_memo is not None and self._diag_memo[0] == memo_key:
+            w, chi2 = self._diag_memo[1]
+            return w.copy(), chi2.copy()
         dev = _host_solve_device()
         ctx = (
             jax.default_device(dev) if dev is not None
@@ -1627,7 +1687,10 @@ class PoseGraph:
         )
         with ctx:
             w, chi2 = edge_robust_weights(self.to_arrays())
-            return np.asarray(w)[: self._e], np.asarray(chi2)[: self._e]
+            w = np.asarray(w)[: self._e]
+            chi2 = np.asarray(chi2)[: self._e]
+            self._diag_memo = (memo_key, (w.copy(), chi2.copy()))
+            return w, chi2
 
     def remove_outlier_edges(self, weight_threshold: float, n_max: int = -1) -> int:
         """Deactivate robustified edges whose Cauchy weight falls below the

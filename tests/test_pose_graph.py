@@ -552,3 +552,56 @@ def test_structure_cache_reused_across_rounds_and_invalidated():
     assert len(compactions) == 5
     g1.optimize(1)
     assert len(compactions) == 5  # unchanged structure -> cached again
+
+
+def test_convergence_memo_skips_resolves_and_invalidates():
+    """A converged optimize() must be memoized: re-solving the identical
+    (structure, poses) state returns the fixed point without another
+    factorization; ANY pose or structure mutation invalidates."""
+    g, _ = _ring_graph(24, loops=((3, 12), (8, 20)))
+    solves = []
+    orig = g._solve_compact
+    g._solve_compact = lambda *a, **k: (solves.append(1), orig(*a, **k))[1]
+
+    h_first = None
+    for _ in range(6):  # run to convergence
+        h = g.optimize(8, algorithm="lm", tol=1e-8)
+        if h_first is None:
+            h_first = h
+    n_to_converge = len(solves)
+    poses_at_conv = g.poses[: g.num_vertices].copy()
+    h_memo = g.optimize(8, algorithm="lm", tol=1e-8)
+    assert len(solves) == n_to_converge  # memo hit: no new solve
+    # memoized history is the converged chi2 plateau
+    assert abs(h_memo[-1] - h_memo[-2]) <= 1e-8 * abs(h_memo[-1])
+    np.testing.assert_array_equal(g.poses[: g.num_vertices], poses_at_conv)
+
+    # edge_diagnostics memo: second query is served from cache but equal
+    w1, c1 = g.edge_diagnostics()
+    w2, c2 = g.edge_diagnostics()
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(c1, c2)
+
+    # pose mutation invalidates both
+    g.set_vertex_pose(5, g.vertex_pose(5) @ _exp([0.01, 0, 0, 0, 0, 0]))
+    g.optimize(8, algorithm="lm", tol=1e-8)
+    assert len(solves) == n_to_converge + 1
+    w3, _ = g.edge_diagnostics()
+    assert w3.shape == w1.shape
+
+    # structure mutation invalidates too
+    for _ in range(6):
+        g.optimize(8, algorithm="lm", tol=1e-8)
+    n_now = len(solves)
+    g.add_edge(2, 17, np.eye(4), np.eye(6))
+    g.optimize(8, algorithm="lm", tol=1e-8)
+    assert len(solves) == n_now + 1
+
+    # tol=0 (full-budget mode) never memoizes
+    g2, _ = _ring_graph(12)
+    s2 = []
+    orig2 = g2._solve_compact
+    g2._solve_compact = lambda *a, **k: (s2.append(1), orig2(*a, **k))[1]
+    g2.optimize(4, algorithm="lm", tol=0.0)
+    g2.optimize(4, algorithm="lm", tol=0.0)
+    assert len(s2) == 2

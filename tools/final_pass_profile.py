@@ -29,7 +29,12 @@ def _exp(x):
     return np.asarray(se3.exp_se3(jnp.asarray(x, jnp.float64)))
 
 
-def build_graph(n=200, kf_every=10, loops_every=7):
+def build_graph(n=200, n_kf=6):
+    """The e2e bench's final-pass shape: every frame has an odometry edge
+    to its predecessor AND a keyframe edge to its segment's keyframe
+    vertex (LocalMap emits both per frame), plus robust loop-closure
+    edges between keyframe pairs — ~2 edges/vertex with keyframe hubs of
+    degree ~n/n_kf."""
     from dvo_slam_tpu.models.pose_graph import PoseGraph
 
     rng = np.random.default_rng(11)
@@ -41,20 +46,22 @@ def build_graph(n=200, kf_every=10, loops_every=7):
     g.add_vertex(0, np.eye(4), fixed=True)
     est = np.eye(4)
     rel = lambda a, b: np.linalg.inv(true[a]) @ true[b]
+    seg = n // n_kf
+    kf_ids = list(range(0, n, seg))
     for i in range(1, n):
         noisy = rel(i - 1, i) @ _exp(rng.normal(0, 2e-3, 6))
         est = est @ noisy
         g.add_vertex(i, est)
         g.add_edge(i - 1, i, noisy, np.eye(6) * 100.0)
-    # keyframe edges (span kf_every) + loop closures
-    for i in range(0, n - kf_every, kf_every):
-        g.add_edge(i, i + kf_every, rel(i, i + kf_every) @ _exp(rng.normal(0, 1e-3, 6)),
-                   np.eye(6) * 50.0)
-    for i in range(0, n - loops_every, loops_every):
-        j = (i + n // 2) % n
-        if abs(i - j) > 2:
-            g.add_edge(i, j, rel(i, j) @ _exp(rng.normal(0, 1e-3, 6)),
-                       np.eye(6) * 20.0, robust=True)
+        kf = (i // seg) * seg  # this segment's keyframe vertex
+        if kf != i and kf != i - 1:
+            g.add_edge(kf, i, rel(kf, i) @ _exp(rng.normal(0, 1e-3, 6)),
+                       np.eye(6) * 50.0)
+    for a in kf_ids:
+        for b in kf_ids:
+            if b > a + seg:
+                g.add_edge(a, b, rel(a, b) @ _exp(rng.normal(0, 1e-3, 6)),
+                           np.eye(6) * 20.0, robust=True)
     return g
 
 
