@@ -103,7 +103,8 @@ def main():
     ap.add_argument(
         "--sections", type=str, default="",
         help="comma-separated subset of sections to run "
-        "(tracker,hard,multistream,frontend,e2e); default all",
+        "(tracker,hard,multistream,frontend,e2e,latency; plus the opt-in "
+        "bsweep, run only when named); default all",
     )
     args = ap.parse_args()
 
@@ -204,7 +205,7 @@ def main():
             np.asarray(run(vi, d_d))
         elapsed = (time.perf_counter() - t0) / len(variants)
         fps = B * (num_frames - 1) / elapsed
-        print(json.dumps({
+        result = {
             "metric": "aggregate_tracked_frames_per_second",
             "value": round(fps, 2),
             "unit": "frames/s",
@@ -212,7 +213,48 @@ def main():
             "mesh_devices": args.mesh,
             "streams": B,
             "device": str(jax.devices()[0]),
-        }))
+        }
+
+        # the WHOLE PIPELINE under the mesh: B hard-scene loop sequences,
+        # one per device, through the DP-sharded scanned front end AND the
+        # replayed back end (loop-closure validation waves, incremental +
+        # dense final optimization), every stream's optimized trajectory
+        # ATE-gated — the reference's full contract
+        # (benchmark_slam.cpp:352-525) in its multi-chip form.
+        from dvo_slam_tpu.config import benchmark_config as _bc_mesh
+        from dvo_slam_tpu.parallel.dp_slam import DataParallelSLAM
+        from dvo_slam_tpu.utils import trajectory as _traj
+
+        e2e_t = 40
+        dp_gt = synthetic.circular_trajectory(
+            e2e_t, radius=0.15, rot_amplitude=0.12, z_amplitude=0.05
+        )
+        hard = synthetic.occluded_scene()
+        iu_streams, du_streams = [], []
+        for b in range(B):
+            iu_s, du_s = render_sequence(
+                dp_gt, shape, scene=hard, seed0=3000 + 97 * b
+            )
+            iu_streams.append(iu_s)
+            du_streams.append(du_s)
+        dp = DataParallelSLAM(TUM_FR1, _bc_mesh(), mesh=mesh)
+        dp_stamps = np.arange(e2e_t) / 30.0
+        t0 = time.perf_counter()
+        dp.track_sequences(
+            np.stack(iu_streams), np.stack(du_streams), dp_stamps
+        )
+        dp_elapsed = time.perf_counter() - t0
+        ates = []
+        for s, (st, opt) in enumerate(dp.trajectories()):
+            ates.append(float(_traj.ate_rmse(st, opt, dp_stamps, dp_gt)))
+        dp.shutdown()
+        result.update({
+            "e2e_mesh_aggregate_fps": round(B * e2e_t / dp_elapsed, 2),
+            "e2e_mesh_ate_rmse_m_max": round(max(ates), 5),
+            "e2e_mesh_ate_rmse_m": [round(a, 5) for a in ates],
+            "e2e_mesh_gate_ate_lt_5mm": bool(max(ates) < E2E_ATE_GATE_M),
+        })
+        print(json.dumps(result))
         return
 
     wanted = set(filter(None, args.sections.split(",")))
@@ -420,6 +462,89 @@ def main():
                 slam_frontend_fps=round(slam_fps, 2),
                 slam_ate_rmse_m=round(float(slam_ate), 5),
             )
+
+    # ONLINE per-frame latency: the live-camera path — one
+    # KeyframeTracker.update per frame, exactly the reference's
+    # handleImages contract (camera_dense_tracking.cpp:187-309, stopwatch
+    # means around the per-frame match) — p50/p99 wall ms INCLUDING
+    # keyframe-switch frames, the per-frame Frame build, and this
+    # sandbox relay's fixed dispatch cost.  The optimizer thread runs
+    # concurrently and is excluded, as in the reference.
+    if enabled("latency"):
+        with rep.section("latency"):
+            from dvo_slam_tpu.models.frames import Frame as _Frame
+            from dvo_slam_tpu.models.keyframe_tracker import (
+                KeyframeTracker as _KT,
+            )
+
+            n_levels = _bc().tracker.num_levels
+            kt = _KT(TUM_FR1, _bc())
+            kt.init()
+            for i in range(6):  # warm the per-frame buckets
+                kt.update(_Frame.from_raw(
+                    intensity_u8[i], depth_u16[i], i / 30.0, n_levels
+                ))
+            kt.graph.wait_for_queue()
+            kt.graph.shutdown()
+
+            kt2 = _KT(TUM_FR1, _bc())
+            kt2.init()
+            lat_ms = []
+            for i in range(num_frames):
+                t0 = time.perf_counter()
+                kt2.update(_Frame.from_raw(
+                    intensity_u8[i], depth_u16[i], i / 30.0, n_levels
+                ))
+                lat_ms.append((time.perf_counter() - t0) * 1000.0)
+            kt2.graph.wait_for_queue()
+            kt2.graph.shutdown()
+            lat = np.asarray(lat_ms[2:])  # skip the two bootstrap frames
+            rep.set(online_latency_ms={
+                "p50": round(float(np.percentile(lat, 50)), 1),
+                "p90": round(float(np.percentile(lat, 90)), 1),
+                "p99": round(float(np.percentile(lat, 99)), 1),
+                "mean": round(float(lat.mean()), 1),
+                "max": round(float(lat.max()), 1),
+                "meets_30hz_p99": bool(np.percentile(lat, 99) < 33.3),
+            })
+
+    # B-sweep past 8 streams (sequential tier — the offline/batch
+    # reprocessing schedule; BASELINE.md: remaining distance to the
+    # bandwidth ceiling is closed by batching).  OPT-IN via
+    # --sections bsweep: each (B, T) shape compiles a fresh scan through
+    # the remote-compile tunnel, too slow for the default capture.
+    if "bsweep" in wanted:
+        with rep.section("bsweep"):
+            from dvo_slam_tpu.parallel.multistream import (
+                make_multistream_tracker as _mkms,
+            )
+
+            for B2, T2 in ((16, 26), (32, 14)):
+                iu_b2 = jnp.asarray(np.stack([
+                    np.roll(intensity_u8[:T2], b % T2, axis=0)
+                    for b in range(B2)
+                ]))
+                du_b2 = jnp.asarray(np.stack([
+                    np.roll(depth_u16[:T2], b % T2, axis=0)
+                    for b in range(B2)
+                ]))
+                np.asarray(iu_b2[0, 0, 0, 0])
+                run2 = _mkms(cfg, TUM_FR1, schedule="sequential")
+                np.asarray(run2(iu_b2, du_b2))  # compile + warm
+                sw_variants = [
+                    iu_b2.at[:, :, 0, k].add(np.uint8(k + 1)) for k in range(2)
+                ]
+                for v in sw_variants:
+                    np.asarray(v[0, 0, 0, 0])
+                t0 = time.perf_counter()
+                for vi in sw_variants:
+                    np.asarray(run2(vi, du_b2))
+                el = (time.perf_counter() - t0) / len(sw_variants)
+                rep.set(**{
+                    f"aggregate_fps_{B2}stream_sequential":
+                        round(B2 * (T2 - 1) / el, 2)
+                })
+                del iu_b2, du_b2, sw_variants
 
     # gates: record pass/fail in the JSON, and reflect it in the exit code
     # AFTER printing (a failed gate must never erase the metrics)

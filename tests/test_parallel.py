@@ -336,3 +336,77 @@ def test_distributed_schur_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(dist.poses), np.asarray(dense.poses), atol=1e-3
     )
+
+
+@pytest.mark.slow
+def test_dp_e2e_slam_on_mesh():
+    """The WHOLE pipeline under the mesh: 8 loop-closing sequences, one
+    per virtual device, through the DP-sharded scanned front end AND the
+    replayed back end (keyframe graph, loop-closure validation waves,
+    dense final optimization) — every stream's optimized trajectory must
+    pass its ATE gate.  This is the reference's whole-pipeline contract
+    (benchmark_slam.cpp:352-525) in its multi-chip form."""
+    from dvo_slam_tpu.config import (
+        GraphConfig, KeyframeConfig, SlamConfig, TrackerConfig,
+    )
+    from dvo_slam_tpu.parallel.dp_slam import DataParallelSLAM
+    from dvo_slam_tpu.utils import trajectory
+
+    cfg = SlamConfig(
+        tracker=TrackerConfig(
+            first_level=1, last_level=0, use_initial_estimate=True,
+        ),
+        keyframe=KeyframeConfig(
+            max_translational_distance=0.06,
+            min_entropy_ratio=0.6,
+            min_equation_system_constraint_ratio=0.3,
+        ),
+        graph=GraphConfig(
+            new_constraint_min_entropy_ratio_coarse=0.03,
+            new_constraint_min_entropy_ratio_fine=0.3,
+            optimization_iterations=16,
+            final_optimization_iterations=60,
+        ),
+    )
+    b, t = 8, 16
+    gt = np.zeros((b, t, 4, 4))
+    iu8 = np.zeros((b, t) + SHAPE, np.uint8)
+    du16 = np.zeros((b, t) + SHAPE, np.uint16)
+    for s in range(b):
+        poses = synthetic.circular_trajectory(
+            t, radius=0.035 + 0.004 * s, rot_amplitude=0.02
+        )
+        gt[s] = poses
+        for i, p in enumerate(poses):
+            i_, d_, v_ = synthetic.render_frame(
+                p, K, SHAPE, seed=31 * s + i, depth_noise=0.002,
+                intensity_noise=1.0,
+            )
+            iu8[s, i] = np.clip(i_, 0, 255).astype(np.uint8)
+            du16[s, i] = np.where(v_, d_ * 5000.0, 0).astype(np.uint16)
+
+    m = mesh_lib.make_mesh(8)
+    dp = DataParallelSLAM(K, cfg, mesh=m)
+    stamps = np.arange(t) / 30.0
+    online = dp.track_sequences(iu8, du16, stamps)
+    assert online.shape == (b, t, 4, 4)
+    for s, (st, opt) in enumerate(dp.trajectories()):
+        ate_on = trajectory.ate_rmse(stamps, online[s], stamps, gt[s])
+        ate_opt = trajectory.ate_rmse(st, opt, stamps, gt[s])
+        assert ate_on < 0.01, (s, ate_on)
+        assert ate_opt < 0.01, (s, ate_opt)
+        assert len(dp.slams[s].graph.keyframes) >= 1
+    # DP parity: a stream tracked alone (no mesh, same program) produces
+    # the same record stream bit-for-bit
+    solo = StreamingSLAM_parity_check(cfg, iu8[0], du16[0], stamps)
+    np.testing.assert_array_equal(online[0], solo)
+    dp.shutdown()
+
+
+def StreamingSLAM_parity_check(cfg, iu8, du16, stamps):
+    from dvo_slam_tpu.models.streaming import StreamingSLAM
+
+    ss = StreamingSLAM(K, cfg)
+    _, poses = ss.track_frontend(iu8, du16)
+    ss.graph.shutdown()
+    return poses

@@ -96,6 +96,12 @@ def main():
     final_s = time.perf_counter() - t0
 
     ate = trajectory.ate_rmse(*slam.graph.trajectory(), e2e_stamps, e2e_poses)
+    # ATE decomposition (VERDICT r4 item 8): how much of the e2e error is
+    # the front end (online trajectory from the records) vs the back end
+    # (keyframe-anchored rebuild + loop edges + final optimization)?
+    ate_online = trajectory.ate_rmse(e2e_stamps, poses, e2e_stamps, e2e_poses)
+    print(json.dumps({"ate_online_m": round(float(ate_online), 5),
+                      "ate_optimized_m": round(float(ate), 5)}), flush=True)
     total = fe_s + replay_s + final_s
     phases = {
         name: round(s["total_s"], 3)
