@@ -935,6 +935,18 @@ def _optimize_schur_lm_jit(arrays, struct, iterations, delta, tol=0.0):
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _sparse_blocks_jit(delta: float):
+    """Module-cached per-edge-blocks jit for the sparse-direct solver
+    (one trace per delta; a per-call jax.jit re-traced every solve)."""
+    return jax.jit(functools.partial(edge_blocks, delta=delta))
+
+
+@functools.lru_cache(maxsize=8)
+def _sparse_chi2_jit(delta: float):
+    return jax.jit(functools.partial(_graph_chi2, delta=delta))
+
+
 def edge_robust_weights(graph: GraphArrays, delta: float = CAUCHY_DELTA):
     """Per-edge Cauchy weights for outlier pruning
     (reference: removeOutlierConstraints, keyframe_graph.cpp:643-674)."""
@@ -1251,6 +1263,23 @@ class PoseGraph:
     # it exactly in two sweeps + one ~1750-dof dense factorization.
     SCHUR_SEPARATOR_MAX_VERTICES = 384
 
+    # "auto" prefers the host sparse-direct solver (exact f64 scipy
+    # factorization — the reference's g2o+CSparse architecture) up to
+    # this many vertices when chain elimination is DEGENERATE (separator
+    # set close to the whole graph).  The e2e SLAM graph is the
+    # motivating shape: LocalMap emits an odometry edge AND a keyframe
+    # edge per frame, so every vertex has degree >= 3, chains vanish,
+    # and "schur" decays into a dense 6S x 6S factorization of
+    # essentially the full system per LM iteration — measured 1.15 s per
+    # keyframe event at 300 keyframes (tools/backend_scale_probe.py)
+    # where sparse Cholesky takes milliseconds.
+    SPARSE_DIRECT_MAX_VERTICES = 4096
+
+    # chain elimination is worthwhile only when it eliminates most of
+    # the graph; past this separator fraction the reduced system IS the
+    # system and schur pays elimination sweeps for nothing
+    SCHUR_SEPARATOR_MAX_FRACTION = 0.6
+
     def _chain_structure(self, max_level):
         """Host elimination-structure analysis for the Schur chain solver,
         under the same gauge convention as optimize() (vertex 0 fixed when
@@ -1344,6 +1373,15 @@ class PoseGraph:
                 iterations, delta, arrays, algorithm, tol
             )
 
+    @staticmethod
+    def _finish_history(history, chi2_final):
+        """Append the post-step chi2 so a tol-terminated run's history
+        ends in the converged plateau — the convergence-memo detection
+        (optimize()) reads the tail delta, and the jitted LM paths pad
+        the same way."""
+        if np.isfinite(chi2_final):
+            history.append(float(chi2_final))
+
     def _optimize_sparse_direct_x64(self, iterations, delta, arrays, algorithm,
                                     tol):
         import scipy.sparse as sp
@@ -1362,8 +1400,12 @@ class PoseGraph:
             lambda x: x.astype(jnp.float64) if x.dtype == jnp.float32 else x,
             arrays,
         )
-        blocks_fn = jax.jit(functools.partial(edge_blocks, delta=delta))
-        chi2_fn = jax.jit(functools.partial(_graph_chi2, delta=delta))
+        # module-cached jits: building them per call re-traced (and
+        # through a cold persistent cache re-compiled) edge_blocks/_chi2
+        # on EVERY optimize call — measured ~0.8 s per final-pass round
+        # of pure retrace overhead at the e2e shape
+        blocks_fn = _sparse_blocks_jit(delta)
+        chi2_fn = _sparse_chi2_jit(delta)
         poses = arrays.poses
         lam, nu = 1e-5, 2.0  # LM state (Nielsen adaptation, as optimize_lm)
         for _ in range(iterations):
@@ -1426,7 +1468,10 @@ class PoseGraph:
                     lam = min(1e8, lam * nu)
                     nu *= 2.0
                     if tol > 0.0 and lam >= 0.5e8:
-                        break  # LM breakdown: rejected at the lambda ceiling
+                        # LM breakdown: rejected at the lambda ceiling —
+                        # no admissible step left, i.e. a fixed point
+                        self._finish_history(history, chi2_cur)
+                        break
                 # converged when the step barely moves chi2 either way
                 # (tiny rejected steps ARE convergence — see optimize_lm)
                 if (
@@ -1434,10 +1479,13 @@ class PoseGraph:
                     and np.isfinite(chi2_new)
                     and abs(chi2_cur - chi2_new) < tol * max(chi2_cur, 1e-30)
                 ):
+                    self._finish_history(history, min(chi2_cur, chi2_new))
                     break
             else:
                 poses = cand
-        return np.asarray(history, self.dtype), np.asarray(poses)
+        # history stays f64: the convergence-memo detection reads the
+        # tail delta against tol=1e-8, below f32 resolution at chi2~0.2
+        return np.asarray(history, np.float64), np.asarray(poses)
 
     def optimize(
         self,
@@ -1529,8 +1577,17 @@ class PoseGraph:
                 sep_ok = (
                     chain is not None
                     and self._real_sep_count <= self.SCHUR_SEPARATOR_MAX_VERTICES
+                    and self._real_sep_count
+                    <= self.SCHUR_SEPARATOR_MAX_FRACTION * sub.n
                 )
-                solver = "schur" if sep_ok else "cg"
+                if sep_ok:
+                    solver = "schur"
+                elif sub.n <= self.SPARSE_DIRECT_MAX_VERTICES:
+                    # degenerate chains / loopy graphs: exact sparse
+                    # Cholesky on host (see SPARSE_DIRECT_MAX_VERTICES)
+                    solver = "sparse"
+                else:
+                    solver = "cg"
         elif solver == "schur":
             chain, self._real_sep_count = cached_chain()
             if chain is None:

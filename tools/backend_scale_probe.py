@@ -18,8 +18,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+if "--tpu" in sys.argv:
+    # production shape: validation waves on the device (through the
+    # relay), graph bookkeeping + host-pinned f64 solves on host
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+else:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
@@ -137,5 +145,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--keyframes", type=int, default=300)
     ap.add_argument("--frames-per-map", type=int, default=7)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run validation waves on the device (handled "
+                    "at import time)")
     args = ap.parse_args()
     main(args.keyframes, args.frames_per_map)

@@ -72,6 +72,14 @@ def main():
                 ok = (a00[VC] > 0.5) & (a10[VC] > 0.5) & (a01[VC] > 0.5) & (a11[VC] > 0.5)
                 return vals, in_b & ok
             z_eps = zz - interp.DEPTH_BUFFER_M
+            if variant == "zbuf_mask":
+                # plain combine + drop-on-intruder: a pixel whose 2x2
+                # neighborhood contains an invalid or in-front neighbor
+                # is invalidated instead of renormalized
+                vals = (a00 * x0w + a10 * x1w) * y0w + (a01 * x0w + a11 * x1w) * y1w
+                keep = lambda a: (a[VC] > 0.5) & (a[1] > z_eps)
+                ok = keep(a00) & keep(a10) & keep(a01) & keep(a11)
+                return vals, in_b & ok
             keep = lambda a: (a[VC] > 0.5) & (a[1] > z_eps)
             w00 = x0w * y0w * keep(a00); w10 = x1w * y0w * keep(a10)
             w01 = x0w * y1w * keep(a01); w11 = x1w * y1w * keep(a11)
@@ -83,25 +91,108 @@ def main():
                 vals = acc / jnp.maximum(wsum, 1e-6)
             return vals, in_b & (wsum > 1e-6)
 
+        # 100 DEPENDENT samples inside one program: one dispatch is ~30 ms
+        # of relay latency, so per-iteration compute only shows when the
+        # program iterates on device (each iteration's index stream
+        # depends on the previous sample — nothing hoists)
+        ITERS = 100
+
         if not batched:
             @jax.jit
             def run(table, uu, vv, zz):
-                # 3 dependent samples emulate the IRLS chain
-                vals, ok = one(table, uu, vv, zz)
-                vals2, ok2 = one(table, uu + vals[0] * 1e-6, vv, zz)
-                vals3, ok3 = one(table, uu, vv + vals2[0] * 1e-6, zz)
-                return vals3.sum() + ok.sum() + ok2.sum() + ok3.sum()
+                def body(c, _):
+                    u_c, acc = c
+                    vals, ok = one(table, u_c, vv, zz)
+                    return (uu + vals[0] * 1e-6, acc + vals[0].sum() + ok.sum()), None
+
+                (u_f, acc), _ = jax.lax.scan(
+                    body, (uu, jnp.float32(0.0)), None, length=ITERS
+                )
+                return acc
 
             return run
 
+        if variant.endswith("_stack"):
+            # gather per stream -> STACK the raw [32, N] columns -> run
+            # the (z-)combine once on the stacked [B, 32, N] array: the
+            # gather's only consumer is the stack, the combine vectorizes
+            # over streams away from the gather lowering
+            base_variant = variant[: -len("_stack")]
+
+            @jax.jit
+            def run_stack(tables, uu_b, vv_b, zz_b):
+                hh, ww = H, W
+
+                def body(c, _):
+                    u_c, acc = c
+                    cols_l = []
+                    for s in range(B):
+                        uu = jnp.clip(u_c[s], 0.0, ww - 1.001)
+                        vvc = jnp.clip(vv_b[s], 0.0, hh - 1.001)
+                        idx = jnp.clip(
+                            jnp.floor(vvc).astype(jnp.int32) * ww
+                            + jnp.floor(uu).astype(jnp.int32),
+                            0, hh * ww - 1,
+                        )
+                        cols_l.append(tables[s][:, idx])
+                    cols = jnp.stack(cols_l)  # [B, 32, N]
+                    uu = jnp.clip(u_c, 0.0, ww - 1.001)
+                    vvc = jnp.clip(vv_b, 0.0, hh - 1.001)
+                    x1w = uu - jnp.floor(uu); y1w = vvc - jnp.floor(vvc)
+                    x0w = 1.0 - x1w; y0w = 1.0 - y1w
+                    a00, a10, a01, a11 = (
+                        cols[:, :8], cols[:, 8:16], cols[:, 16:24], cols[:, 24:32]
+                    )
+                    VC = interp.VALID_CHANNEL
+                    if base_variant == "plain":
+                        vals = (
+                            (a00 * x0w[:, None] + a10 * x1w[:, None]) * y0w[:, None]
+                            + (a01 * x0w[:, None] + a11 * x1w[:, None]) * y1w[:, None]
+                        )
+                        ok = (
+                            (a00[:, VC] > 0.5) & (a10[:, VC] > 0.5)
+                            & (a01[:, VC] > 0.5) & (a11[:, VC] > 0.5)
+                        )
+                    else:
+                        z_eps = zz_b - interp.DEPTH_BUFFER_M
+                        keep = lambda a: (a[:, VC] > 0.5) & (a[:, 1] > z_eps)
+                        w00 = x0w * y0w * keep(a00); w10 = x1w * y0w * keep(a10)
+                        w01 = x0w * y1w * keep(a01); w11 = x1w * y1w * keep(a11)
+                        wsum = w00 + w10 + w01 + w11
+                        acc_v = (
+                            a00 * w00[:, None] + a10 * w10[:, None]
+                            + a01 * w01[:, None] + a11 * w11[:, None]
+                        )
+                        vals = acc_v * (1.0 / jnp.maximum(wsum, 1e-6))[:, None]
+                        ok = wsum > 1e-6
+                    return (
+                        uu_b + vals[:, 0] * 1e-6,
+                        acc + vals[:, 0].sum() + ok.sum(),
+                    ), None
+
+                (_, acc), _ = jax.lax.scan(
+                    body, (uu_b, jnp.float32(0.0)), None, length=ITERS
+                )
+                return acc
+
+            return run_stack
+
         @jax.jit
         def run_b(tables, uu_b, vv_b, zz_b):
-            outs = []
-            for s in range(B):
-                vals, ok = one(tables[s], uu_b[s], vv_b[s], zz_b[s])
-                vals2, ok2 = one(tables[s], uu_b[s] + vals[0] * 1e-6, vv_b[s], zz_b[s])
-                outs.append(vals2.sum() + ok.sum() + ok2.sum())
-            return jnp.stack(outs)
+            def body(c, _):
+                u_c, acc = c
+                outs = []
+                u_next = []
+                for s in range(B):
+                    vals, ok = one(tables[s], u_c[s], vv_b[s], zz_b[s])
+                    outs.append(vals[0].sum() + ok.sum())
+                    u_next.append(uu_b[s] + vals[0] * 1e-6)
+                return (jnp.stack(u_next), acc + jnp.stack(outs).sum()), None
+
+            (_, acc), _ = jax.lax.scan(
+                body, (uu_b, jnp.float32(0.0)), None, length=ITERS
+            )
+            return acc
 
         return run_b
 
@@ -112,8 +203,10 @@ def main():
     vv_b = jnp.asarray(np.stack([v] * B)); zz_b = jnp.asarray(np.stack([z] * B))
     np.asarray(uu[0])
 
-    for variant in ("plain", "zbuf", "zbuf_recip", "zbuf_barrier"):
+    for variant in ("zbuf_mask", "plain", "zbuf"):
         for batched in (False, True):
+            if variant.endswith("_stack") and not batched:
+                continue
             fn = sample_fn(variant, batched)
             if batched:
                 args0 = (tuple(tables), uu_b, vv_b, zz_b)
