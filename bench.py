@@ -412,8 +412,25 @@ def main():
                 np.stack([np.roll(depth_u16[:ms_frames], b, axis=0) for b in range(B)])
             )
             np.asarray(iu_b[0, 0, 0, 0])
-            for schedule in ("lockstep", "sequential"):
-                run = make_multistream_tracker(cfg, TUM_FR1, schedule=schedule)
+            import dataclasses as _dc
+
+            # lockstep_nobuf: the depth-buffer rule costs 2.0x per
+            # gather-iteration ONLY in the lockstep unroll (free
+            # single-stream — tools/zbuffer_probe.py), so the engine
+            # offers depth_buffered_sampling=False as the lockstep
+            # serving fast mode (occlusion handling then rests on the
+            # depth-derivative selection gate alone)
+            variants_ms = (
+                ("lockstep", cfg),
+                ("sequential", cfg),
+                ("lockstep_nobuf",
+                 _dc.replace(cfg, depth_buffered_sampling=False)),
+            )
+            for name, ms_cfg in variants_ms:
+                schedule = name.split("_")[0]
+                run = make_multistream_tracker(
+                    ms_cfg, TUM_FR1, schedule=schedule
+                )
                 np.asarray(run(iu_b, du_b))  # compile + warm
                 ms_variants = [iu_b.at[:, :, 0, k].add(np.uint8(k + 1)) for k in range(2)]
                 for v in ms_variants:
@@ -423,7 +440,7 @@ def main():
                     np.asarray(run(vi, du_b))
                 ms_elapsed = (time.perf_counter() - t0) / len(ms_variants)
                 rep.set(**{
-                    f"aggregate_fps_8stream_{schedule}":
+                    f"aggregate_fps_8stream_{name}":
                         round(B * (ms_frames - 1) / ms_elapsed, 2)
                 })
 

@@ -62,6 +62,18 @@ class TrackerConfig:
     # TPU and the fused XLA twin elsewhere; "xla" is the unfused reference
     # oracle path; "fused"/"pallas" force a specific implementation.
     kernel_backend: str = "auto"
+    # Apply the reference's 5 cm depth-buffer rule inside the hot-path
+    # bilinear sample (interpolation.cpp:55-110: a foreground intruder
+    # never blends into a background sample; weights renormalize over the
+    # surviving neighbors).  Measured FREE in single-stream programs but
+    # 2.0x the gather-iteration cost in the 8-way LOCKSTEP multistream
+    # unroll (tools/zbuffer_probe.py — an XLA gather-lowering effect, not
+    # arithmetic).  Turn OFF for lockstep serving of low-occlusion scenes
+    # where aggregate throughput matters more than occlusion-edge
+    # fidelity; the depth-derivative discontinuity gate
+    # (ops/pyramid.MAX_DEPTH_DERIVATIVE_M) stays active either way and
+    # carried the bulk of the occluded-scene accuracy win (BASELINE.md).
+    depth_buffered_sampling: bool = True
 
     @property
     def num_levels(self) -> int:

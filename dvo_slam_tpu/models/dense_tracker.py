@@ -315,6 +315,7 @@ def _match_level(
         sampled = warp_and_sample_cm(
             refpack, quad, level_shape, intrinsics, T,
             lane_offset=quad_offset, stream_index=stream_index,
+            depth_buffered=cfg.depth_buffered_sampling,
         )
         p3 = jnp.stack([P_prev[0, 0], P_prev[0, 1], P_prev[1, 1]])
         fn = (

@@ -328,7 +328,10 @@ def _quad_sampler(shape, n_tables: int, use_z: bool = False):
     def _rule(axis_size, in_batched, tables, stream, u, v, z):
         tables_b = any(jax.tree.leaves(in_batched[0]))
         u_b, v_b, z_b = in_batched[2], in_batched[3], in_batched[4]
-        if not (u_b and v_b and z_b):
+        # without use_z the z operand is a statically-ignored dummy whose
+        # batching is irrelevant (zeros_like(u) under vmap is an
+        # UNBATCHED constant — depth_buffered_sampling=False hits this)
+        if not (u_b and v_b and (z_b or not use_z)):
             raise NotImplementedError(
                 "quad sampling: u, v and z must be batched together"
             )
@@ -353,7 +356,8 @@ def _quad_sampler(shape, n_tables: int, use_z: bool = False):
                     f"batch of {axis_size} streams"
                 )
             val, ok = _sample_quad_cols(
-                table, shape, u[b], v[b], z[b] if use_z else None
+                table, shape, u[b], v[b],
+                (z[b] if z_b else z) if use_z else None,
             )
             vals.append(val)
             oks.append(ok)

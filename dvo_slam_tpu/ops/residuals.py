@@ -135,6 +135,7 @@ def warp_and_sample_cm(
     T,  # [4, 4]
     lane_offset=None,  # [] lane offset into a flat [32, B*N] stream-batched table
     stream_index=None,  # [] table selector when quad_cm is a tuple
+    depth_buffered: bool = True,  # TrackerConfig.depth_buffered_sampling
 ):
     """Channel-major warp + sample: the production gather of the fused
     path.  Reference geometry comes straight from the refpack channels
@@ -162,7 +163,8 @@ def warp_and_sample_cm(
     u = p_x / z_safe * intrinsics.fx + intrinsics.ox
     v = p_y / z_safe * intrinsics.fy + intrinsics.oy
     sampled, sample_valid = bilinear_sample_quad_cm(
-        quad_cm, shape, u, v, z_expected=z_t,
+        quad_cm, shape, u, v,
+        z_expected=z_t if depth_buffered else None,
         lane_offset=lane_offset, stream_index=stream_index,
     )
     validity = sample_valid & (z_t > 1e-12)

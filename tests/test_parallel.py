@@ -410,3 +410,50 @@ def StreamingSLAM_parity_check(cfg, iu8, du16, stamps):
     _, poses = ss.track_frontend(iu8, du16)
     ss.graph.shutdown()
     return poses
+
+
+def test_multistream_unbuffered_sampling_mode():
+    """depth_buffered_sampling=False (the lockstep fast mode — the 5 cm
+    rule costs 2x gather-iteration time in the lockstep unroll,
+    tools/zbuffer_probe.py) must stay schedule-consistent and track a
+    clean scene to the same accuracy as the buffered default."""
+    from dvo_slam_tpu.parallel.multistream import make_multistream_tracker
+    from dvo_slam_tpu.ops import se3 as _se3
+
+    base = TrackerConfig(first_level=1, last_level=0,
+                         max_iterations_per_level=15, precision=1e-4,
+                         use_initial_estimate=True)
+    import dataclasses
+
+    nobuf = dataclasses.replace(base, depth_buffered_sampling=False)
+    B, T, shape = 2, 4, (60, 80)
+    k = Intrinsics(80.0, 80.0, 39.5, 29.5)
+    iu = np.zeros((B, T) + shape, np.uint8)
+    du = np.zeros((B, T) + shape, np.uint16)
+    gt = []
+    for b in range(B):
+        poses = synthetic.circular_trajectory(T, radius=0.02 + 0.01 * b)
+        gt.append(poses)
+        for t in range(T):
+            i_img, d_img, v = synthetic.render_frame(
+                poses[t], k, shape, seed=7 * b + t, depth_noise=0.002
+            )
+            iu[b, t] = np.clip(i_img, 0, 255).astype(np.uint8)
+            du[b, t] = np.where(v, d_img * 5000.0, 0).astype(np.uint16)
+    lock = make_multistream_tracker(nobuf, k)(jnp.asarray(iu), jnp.asarray(du))
+    seq = make_multistream_tracker(nobuf, k, schedule="sequential")(
+        jnp.asarray(iu), jnp.asarray(du)
+    )
+    buf = make_multistream_tracker(base, k)(jnp.asarray(iu), jnp.asarray(du))
+    for b in range(B):
+        for t in range(T - 1):
+            # schedules agree in the unbuffered mode
+            err = np.abs(np.asarray(_se3.log_se3(jnp.asarray(
+                np.linalg.inv(np.asarray(lock[b, t], np.float64))
+                @ np.asarray(seq[b, t], np.float64), jnp.float32))))
+            assert err.max() < 1e-3, (b, t, err.max())
+            # clean scene: unbuffered tracks like buffered
+            err2 = np.abs(np.asarray(_se3.log_se3(jnp.asarray(
+                np.linalg.inv(np.asarray(lock[b, t], np.float64))
+                @ np.asarray(buf[b, t], np.float64), jnp.float32))))
+            assert err2.max() < 1e-3, (b, t, err2.max())
