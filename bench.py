@@ -307,7 +307,7 @@ def main():
                 e2e_i, e2e_d, e2e_stamps, pipeline_chunk=PIPE
             )
             best = None
-            for r in range(2):
+            for r in range(3):
                 slam_e2e.reset()
                 e2e_iv = e2e_i.copy()
                 e2e_iv[:, 0, :] += r + 1

@@ -126,6 +126,14 @@ class GraphConfig:
     # pruning round removes nothing.  Off by default — the reference always
     # runs all 10 rounds (keyframe_graph.cpp:266-281).
     final_optimization_early_exit: bool = False
+    # Relative |delta chi2| convergence tolerance for the graph solves
+    # (g2o's gain-threshold terminate action plays this role for the
+    # reference's huge fixed budgets, config.cpp:44-49).  1e-7 relative
+    # chi2 is orders below any pose-visible change; the e2e gate ATE is
+    # measured identical at 1e-7 vs 1e-8 while redundant robust loop
+    # edges stop dragging the dense final rounds through tol-chasing LM
+    # iterations.
+    optimization_tol: float = 1e-7
 
 
 @dataclasses.dataclass(frozen=True)

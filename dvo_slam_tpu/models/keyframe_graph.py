@@ -317,14 +317,16 @@ class KeyframeGraph:
         if max_distance >= self.cfg.min_constraint_distance:
             with self.timers.timing("constraint_optimization"):
                 self.graph.optimize(
-                    self.cfg.optimization_iterations // 2, max_level=0
+                    self.cfg.optimization_iterations // 2, max_level=0,
+                    tol=self.cfg.optimization_tol,
                 )
                 if self.cfg.optimization_remove_outliers:
                     self.graph.remove_outlier_edges(
                         self.cfg.optimization_outlier_weight_threshold
                     )
                 self.graph.optimize(
-                    self.cfg.optimization_iterations // 2, max_level=0
+                    self.cfg.optimization_iterations // 2, max_level=0,
+                    tol=self.cfg.optimization_tol,
                 )
                 self._update_keyframe_poses()
 
@@ -406,6 +408,7 @@ class KeyframeGraph:
                 self.graph.optimize(
                     max(self.cfg.final_optimization_iterations // 10, 1),
                     max_level=max_level,
+                    tol=self.cfg.optimization_tol,
                 )
                 removed = 0
                 if self.cfg.final_optimization_remove_outliers:
