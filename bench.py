@@ -495,17 +495,15 @@ def main():
     # concurrently and is excluded, as in the reference.
     if enabled("latency"):
         with rep.section("latency"):
-            from dvo_slam_tpu.models.frames import Frame as _Frame
             from dvo_slam_tpu.models.keyframe_tracker import (
                 KeyframeTracker as _KT,
             )
 
-            n_levels = _bc().tracker.num_levels
             kt = _KT(TUM_FR1, _bc())
             kt.init()
             for i in range(6):  # warm the per-frame buckets
-                kt.update(_Frame.from_raw(
-                    intensity_u8[i], depth_u16[i], i / 30.0, n_levels
+                kt.update(kt.make_frame_raw(
+                    intensity_u8[i], depth_u16[i], i / 30.0
                 ))
             kt.graph.wait_for_queue()
             kt.graph.shutdown()
@@ -515,8 +513,8 @@ def main():
             lat_ms = []
             for i in range(num_frames):
                 t0 = time.perf_counter()
-                kt2.update(_Frame.from_raw(
-                    intensity_u8[i], depth_u16[i], i / 30.0, n_levels
+                kt2.update(kt2.make_frame_raw(
+                    intensity_u8[i], depth_u16[i], i / 30.0
                 ))
                 lat_ms.append((time.perf_counter() - t0) * 1000.0)
             kt2.graph.wait_for_queue()

@@ -193,6 +193,18 @@ class KeyframeTracker:
             intensity, depth, valid, timestamp, self.cfg.tracker.num_levels
         )
 
+    def make_frame_raw(self, intensity_u8, depth_u16, timestamp: float) -> Frame:
+        """Live-camera ingest: raw u8/u16 arrays (3x fewer upload bytes
+        than pre-converted floats), on-device conversion, AND the solver
+        artifacts prepared in the SAME device program — update() then
+        costs two host<->device round trips per frame instead of three
+        (the reference's per-frame handleImages path,
+        camera_dense_tracking.cpp:187-309)."""
+        return Frame.from_raw(
+            intensity_u8, depth_u16, timestamp, self.cfg.tracker.num_levels,
+            prepare_for=(self.cfg.tracker, self.intrinsics),
+        )
+
     def update(self, frame: Frame) -> np.ndarray:
         """Track one frame; returns its absolute pose
         (reference: keyframe_tracker.cpp:227-246)."""

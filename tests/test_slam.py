@@ -234,3 +234,56 @@ def test_initial_transformation_offset():
     rel_true = np.linalg.inv(poses[0]) @ poses[-1]
     err = np.abs(rel_est[:3, 3] - rel_true[:3, 3]).max()
     assert err < 0.01
+
+
+def test_make_frame_raw_fused_prepare_live_path():
+    """The live per-frame path (make_frame_raw) must build the pyramid,
+    convert raw depth, AND prepare the solver artifacts in one device
+    program: the dual-match wave then never re-prepares the frame, and
+    the trajectory matches the float-ingest path's accuracy."""
+    import numpy as np
+
+    from dvo_slam_tpu.models import frames as fr
+    from dvo_slam_tpu.models.keyframe_tracker import KeyframeTracker
+    from dvo_slam_tpu.utils import synthetic, trajectory as tj
+
+    k = Intrinsics(80.0, 80.0, 39.5, 29.5)
+    cfg = SlamConfig(
+        tracker=TrackerConfig(first_level=1, last_level=0,
+                              use_initial_estimate=True)
+    )
+    kt = KeyframeTracker(k, cfg)
+    kt.init()
+    poses = synthetic.circular_trajectory(6, radius=0.03)
+    n_prep = 0
+    orig = fr.BatchedMatcher._prepare_many
+
+    def spy(self, frames_):
+        nonlocal n_prep
+        key = self._prep_key
+        todo = {
+            id(f) for f in frames_
+            if key not in f.__dict__.get("_prepared", {})
+        }
+        if self._prep_key[0] == cfg.tracker:  # tracker-role waves only
+            n_prep += len(todo)
+        return orig(self, frames_)
+
+    fr.BatchedMatcher._prepare_many = spy
+    try:
+        for i, p in enumerate(poses):
+            i_, d_, v_ = synthetic.render_frame(
+                p, k, (60, 80), seed=i, depth_noise=0.002
+            )
+            iu8 = np.clip(i_, 0, 255).astype(np.uint8)
+            du16 = np.where(v_, d_ * 5000, 0).astype(np.uint16)
+            kt.update(kt.make_frame_raw(iu8, du16, i / 30.0))
+        kt.force_keyframe()
+        kt.finish()
+    finally:
+        fr.BatchedMatcher._prepare_many = orig
+    assert n_prep == 0, f"{n_prep} frames re-prepared in the match wave"
+    stamps, traj = kt.trajectory()
+    ate = tj.ate_rmse(stamps, traj, np.arange(6) / 30.0, poses)
+    assert ate < 0.01, ate
+    kt.graph.shutdown()
