@@ -47,6 +47,16 @@ class CameraTracker:
     def make_frame(self, intensity, depth, valid, timestamp: float) -> Frame:
         return Frame.from_arrays(intensity, depth, valid, timestamp, self.cfg.num_levels)
 
+    def make_frame_raw(self, intensity_u8, depth_u16, timestamp: float) -> Frame:
+        """Live-camera ingest: raw u8/u16, on-device conversion, solver
+        artifacts prepared in the same program — update() then costs two
+        host<->device round trips per frame (see
+        KeyframeTracker.make_frame_raw)."""
+        return Frame.from_raw(
+            intensity_u8, depth_u16, timestamp, self.cfg.num_levels,
+            prepare_for=(self.cfg, self.intrinsics),
+        )
+
     def update(self, frame: Frame) -> np.ndarray:
         """Track one frame; returns the accumulated world pose
         (camera_dense_tracking.cpp:187-309)."""
