@@ -334,6 +334,57 @@ def main():
             )
             del e2e_i, e2e_d, e2e_iv, slam_e2e
 
+    from dvo_slam_tpu.config import benchmark_config as _bc
+    from dvo_slam_tpu.models.streaming import StreamingSLAM
+
+    # Runs SECOND (right after e2e): the later sections keep large
+    # device arrays + executables resident, and the relay's
+    # executable eviction/re-streaming under that pressure inflated
+    # the per-frame path ~5x when this section ran last (measured
+    # p99 68 ms standalone vs 568 ms at the tail of a full run).
+    # ONLINE per-frame latency: the live-camera path — one
+    # KeyframeTracker.update per frame, exactly the reference's
+    # handleImages contract (camera_dense_tracking.cpp:187-309, stopwatch
+    # means around the per-frame match) — p50/p99 wall ms INCLUDING
+    # keyframe-switch frames, the per-frame Frame build, and this
+    # sandbox relay's fixed dispatch cost.  The optimizer thread runs
+    # concurrently and is excluded, as in the reference.
+    if enabled("latency"):
+        with rep.section("latency"):
+            from dvo_slam_tpu.models.keyframe_tracker import (
+                KeyframeTracker as _KT,
+            )
+
+            kt = _KT(TUM_FR1, _bc())
+            kt.init()
+            for i in range(6):  # warm the per-frame buckets
+                kt.update(kt.make_frame_raw(
+                    intensity_u8[i], depth_u16[i], i / 30.0
+                ))
+            kt.graph.wait_for_queue()
+            kt.graph.shutdown()
+
+            kt2 = _KT(TUM_FR1, _bc())
+            kt2.init()
+            lat_ms = []
+            for i in range(num_frames):
+                t0 = time.perf_counter()
+                kt2.update(kt2.make_frame_raw(
+                    intensity_u8[i], depth_u16[i], i / 30.0
+                ))
+                lat_ms.append((time.perf_counter() - t0) * 1000.0)
+            kt2.graph.wait_for_queue()
+            kt2.graph.shutdown()
+            lat = np.asarray(lat_ms[2:])  # skip the two bootstrap frames
+            rep.set(online_latency_ms={
+                "p50": round(float(np.percentile(lat, 50)), 1),
+                "p90": round(float(np.percentile(lat, 90)), 1),
+                "p99": round(float(np.percentile(lat, 99)), 1),
+                "mean": round(float(lat.mean()), 1),
+                "max": round(float(lat.max()), 1),
+                "meets_30hz_p99": bool(np.percentile(lat, 99) < 33.3),
+            })
+
     if enabled("tracker"):
         with rep.section("tracker"):
             d_int = jnp.asarray(intensity_u8)
@@ -446,8 +497,6 @@ def main():
 
     # full keyframe-SLAM front end (dual match + policy + keyframe switch
     # as one scanned program, models/streaming.py) on the same sequence
-    from dvo_slam_tpu.config import benchmark_config as _bc
-    from dvo_slam_tpu.models.streaming import StreamingSLAM
 
     if enabled("frontend"):
         with rep.section("frontend"):
@@ -485,49 +534,6 @@ def main():
                 slam_frontend_fps=round(slam_fps, 2),
                 slam_ate_rmse_m=round(float(slam_ate), 5),
             )
-
-    # ONLINE per-frame latency: the live-camera path — one
-    # KeyframeTracker.update per frame, exactly the reference's
-    # handleImages contract (camera_dense_tracking.cpp:187-309, stopwatch
-    # means around the per-frame match) — p50/p99 wall ms INCLUDING
-    # keyframe-switch frames, the per-frame Frame build, and this
-    # sandbox relay's fixed dispatch cost.  The optimizer thread runs
-    # concurrently and is excluded, as in the reference.
-    if enabled("latency"):
-        with rep.section("latency"):
-            from dvo_slam_tpu.models.keyframe_tracker import (
-                KeyframeTracker as _KT,
-            )
-
-            kt = _KT(TUM_FR1, _bc())
-            kt.init()
-            for i in range(6):  # warm the per-frame buckets
-                kt.update(kt.make_frame_raw(
-                    intensity_u8[i], depth_u16[i], i / 30.0
-                ))
-            kt.graph.wait_for_queue()
-            kt.graph.shutdown()
-
-            kt2 = _KT(TUM_FR1, _bc())
-            kt2.init()
-            lat_ms = []
-            for i in range(num_frames):
-                t0 = time.perf_counter()
-                kt2.update(kt2.make_frame_raw(
-                    intensity_u8[i], depth_u16[i], i / 30.0
-                ))
-                lat_ms.append((time.perf_counter() - t0) * 1000.0)
-            kt2.graph.wait_for_queue()
-            kt2.graph.shutdown()
-            lat = np.asarray(lat_ms[2:])  # skip the two bootstrap frames
-            rep.set(online_latency_ms={
-                "p50": round(float(np.percentile(lat, 50)), 1),
-                "p90": round(float(np.percentile(lat, 90)), 1),
-                "p99": round(float(np.percentile(lat, 99)), 1),
-                "mean": round(float(lat.mean()), 1),
-                "max": round(float(lat.max()), 1),
-                "meets_30hz_p99": bool(np.percentile(lat, 99) < 33.3),
-            })
 
     # B-sweep past 8 streams (sequential tier — the offline/batch
     # reprocessing schedule; BASELINE.md: remaining distance to the
