@@ -646,12 +646,25 @@ class StreamingSLAM:
 
     def _frame(self, intensity_u8, depth_u16, timestamps, i) -> Frame:
         # raw u8/u16 upload; u16/5000 + validity conversion on device
-        # (bit-exact vs the host form — convert_raw_depth)
+        # (bit-exact vs the host form — convert_raw_depth).  Every frame
+        # built here is a KEYFRAME: its first consumer is a loop-closure
+        # validation wave, so the validator's (fine-config) solver
+        # artifacts are prepared in the SAME program — the wave then
+        # issues zero prepare dispatches for it, and the build+prepare
+        # happens while the scan of later chunks is still running
+        # (validation dispatch count is the weather-sensitive part of
+        # the e2e budget).  The validator's LRU evicts these artifacts
+        # like any others (same cache key).
+        from .constraints import constraint_tracker_config
+
         return Frame.from_raw(
             np.asarray(intensity_u8[i]),
             np.asarray(depth_u16[i]),
             timestamps[i],
             self.cfg.tracker.num_levels,
+            prepare_for=(
+                constraint_tracker_config(self.cfg.tracker), self.intrinsics
+            ),
         )
 
     def _replay(self, records, intensity_u8, depth_u16, timestamps):
