@@ -109,3 +109,33 @@ def test_fused_wave_rejects_unmatchable_pair():
     assert [(p.reference.id, p.current.id) for p in accepted] == [
         (p.reference.id, p.current.id) for p in accepted_staged
     ]
+
+
+@pytest.mark.slow
+def test_two_stage_matcher_chunks_past_eight_pairs():
+    """match_pairs chunks waves past 8 pairs (each slot is 4 unrolled
+    solves); results must be ordered 1:1 with the requests and identical
+    to matching the same pair in a smaller wave."""
+    from dvo_slam_tpu.models.constraints import constraint_tracker_config, \
+        validation_tracker_config
+    from dvo_slam_tpu.models.frames import TwoStageMatcher
+
+    kfs = _keyframes(6)
+    m = TwoStageMatcher(
+        validation_tracker_config(TCFG), constraint_tracker_config(TCFG), K
+    )
+    reqs = []
+    for a in range(6):
+        for b in range(6):
+            if a != b and len(reqs) < 10:
+                reqs.append((kfs[a].frame, kfs[b].frame, np.eye(4)))
+    out = m.match_pairs(reqs)  # 10 pairs -> chunks of 8 + 2
+    assert len(out) == len(reqs)
+    solo = m.match_pairs(reqs[:1])[0]
+    for r_big, r_solo in zip(out[0], solo):
+        np.testing.assert_allclose(
+            r_big.transformation, r_solo.transformation, atol=1e-5
+        )
+    for quad in out:
+        for r in quad:
+            assert np.isfinite(r.transformation).all()
